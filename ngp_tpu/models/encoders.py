@@ -1,0 +1,113 @@
+"""Encoder factory and flax wrappers.
+
+TPU-native equivalent of the reference's ``encoding.py:45-77``
+(`get_encoder`): maps an encoding name to a flax module + output dim.
+Supported: None (identity), 'frequency', 'sphere_harmonics',
+'hashgrid', 'tiledgrid' — the same surface as the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ngp_tpu.ops.freq import freq_encode, freq_encode_dim
+from ngp_tpu.ops.hashgrid import GridConfig, grid_encode
+from ngp_tpu.ops.sh import sh_basis_dim, sh_encode
+
+
+class Identity(nn.Module):
+    input_dim: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        return x
+
+    @property
+    def output_dim(self):
+        return self.input_dim
+
+
+class FreqEncoder(nn.Module):
+    input_dim: int = 3
+    degree: int = 12
+
+    @nn.compact
+    def __call__(self, x):
+        return freq_encode(x, self.degree)
+
+    @property
+    def output_dim(self):
+        return freq_encode_dim(self.input_dim, self.degree)
+
+
+class SHEncoder(nn.Module):
+    input_dim: int = 3
+    degree: int = 4
+
+    @nn.compact
+    def __call__(self, dirs):
+        return sh_encode(dirs, self.degree)
+
+    @property
+    def output_dim(self):
+        return sh_basis_dim(self.degree)
+
+
+class GridEncoder(nn.Module):
+    """Multiresolution hash/tiled grid encoder with learned table."""
+
+    cfg: GridConfig
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        emb = self.param(
+            "embeddings",
+            lambda key: self.cfg.init(key),
+        )
+        return grid_encode(x, emb, self.cfg, compute_dtype=self.compute_dtype)
+
+    @property
+    def output_dim(self):
+        return self.cfg.output_dim
+
+
+def get_encoder(
+    encoding: Optional[str],
+    input_dim: int = 3,
+    multires: int = 6,
+    degree: int = 4,
+    num_levels: int = 16,
+    level_dim: int = 2,
+    base_resolution: int = 16,
+    log2_hashmap_size: int = 19,
+    desired_resolution: int = 2048,
+    align_corners: bool = False,
+    compute_dtype=None,
+) -> Tuple[nn.Module, int]:
+    """String → (encoder module, output_dim), reference encoding.py:45-77."""
+    if encoding is None or encoding == "None":
+        return Identity(input_dim=input_dim), input_dim
+    if encoding == "frequency":
+        enc = FreqEncoder(input_dim=input_dim, degree=multires)
+        return enc, enc.output_dim
+    if encoding == "sphere_harmonics":
+        enc = SHEncoder(input_dim=input_dim, degree=degree)
+        return enc, enc.output_dim
+    if encoding in ("hashgrid", "tiledgrid"):
+        cfg = GridConfig(
+            input_dim=input_dim,
+            num_levels=num_levels,
+            level_dim=level_dim,
+            base_resolution=base_resolution,
+            log2_hashmap_size=log2_hashmap_size,
+            desired_resolution=desired_resolution,
+            gridtype="hash" if encoding == "hashgrid" else "tiled",
+            align_corners=align_corners,
+        )
+        enc = GridEncoder(cfg=cfg, compute_dtype=compute_dtype)
+        return enc, cfg.output_dim
+    raise ValueError(f"unknown encoding: {encoding}")

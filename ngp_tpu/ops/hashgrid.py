@@ -1,0 +1,242 @@
+"""Multiresolution hash / tiled grid encoding (instant-ngp hash table).
+
+TPU-native equivalent of the reference's ``gridencoder`` CUDA extension
+(``gridencoder/src/gridencoder.cu``, ``gridencoder/grid.py``). Same
+mathematical contract:
+
+- level geometry: ``scale_l = 2**(l * log2(per_level_scale)) * H - 1``,
+  ``resolution_l = ceil(scale_l) + 1`` (gridencoder.cu:138-139);
+  per-level param count ``min(2**log2_hashmap_size, res(+1)**D)``
+  rounded up to a multiple of 8 (grid.py:121-127).
+- indexing: row-major dense index while the accumulated stride fits in
+  the level's table; hash types switch to ``fast_hash`` (XOR of
+  per-dim primes {1, 2654435761, 805459861}) on overflow
+  (gridencoder.cu:51-84). Everything is finally ``% hashmap_size``.
+- interpolation: d-linear (or smoothstep) over the 2^D corners with
+  ``pos = x * scale + (0.5 if not align_corners)`` (gridencoder.cu:146-159).
+- inputs outside [0, 1] produce zeros (gridencoder.cu:110-135).
+
+TPU-first design notes: the per-(point, level) corner loop becomes a
+dense vectorized gather over a [B, 2^D] index array per level; the
+backward scatter-add (CUDA ``atomicAdd``, gridencoder.cu:323-338) is
+XLA's deterministic ``scatter-add`` from autodiff of ``take`` — no
+custom VJP needed for correctness. All level geometry (resolutions,
+strides, offsets, whether a level hashes) is static Python, so the
+whole encoder unrolls into L fused gather+FMA blocks under ``jit``.
+A Pallas kernel version for the training hot path lives in
+``ngp_tpu.ops.pallas.hashgrid_kernel`` (same contract, checked against
+this implementation in tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Static geometry of a multiresolution grid encoding."""
+
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    per_level_scale: float = 2.0
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    desired_resolution: Optional[int] = None
+    gridtype: str = "hash"  # "hash" | "tiled"
+    align_corners: bool = False
+    interpolation: str = "linear"  # "linear" | "smoothstep"
+
+    def __post_init__(self):
+        if self.gridtype not in ("hash", "tiled"):
+            raise ValueError(f"unknown gridtype {self.gridtype}")
+        if self.interpolation not in ("linear", "smoothstep"):
+            raise ValueError(f"unknown interpolation {self.interpolation}")
+        if self.desired_resolution is not None:
+            # finest-level resolution overrides per_level_scale (grid.py:99-102)
+            s = math.exp2(
+                math.log2(self.desired_resolution / self.base_resolution)
+                / (self.num_levels - 1)
+            )
+            object.__setattr__(self, "per_level_scale", s)
+
+    # ---- static geometry -------------------------------------------------
+
+    @property
+    def log2_per_level_scale(self) -> float:
+        return math.log2(self.per_level_scale)
+
+    def level_scale(self, level: int) -> float:
+        """The continuous grid scale used for interpolation coords."""
+        return math.exp2(level * self.log2_per_level_scale) * self.base_resolution - 1.0
+
+    def level_resolution(self, level: int) -> int:
+        """Number of grid cells along each axis at ``level`` (kernel formula)."""
+        return int(math.ceil(self.level_scale(level))) + 1
+
+    @property
+    def offsets(self) -> Tuple[int, ...]:
+        """Cumulative per-level parameter-row offsets, length L+1 (grid.py:117-129)."""
+        max_params = 2**self.log2_hashmap_size
+        offs = [0]
+        for lvl in range(self.num_levels):
+            # grid.py uses ceil(H * s**l) here (NOT the kernel formula)
+            res = int(math.ceil(self.base_resolution * self.per_level_scale**lvl))
+            side = res if self.align_corners else res + 1
+            params = min(max_params, side**self.input_dim)
+            params = int(math.ceil(params / 8) * 8)
+            offs.append(offs[-1] + params)
+        return tuple(offs)
+
+    @property
+    def num_rows(self) -> int:
+        """Total embedding-table rows (sum over levels)."""
+        return self.offsets[-1]
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> jax.Array:
+        """U(-1e-4, 1e-4) embedding table (grid.py:138-140)."""
+        return jax.random.uniform(
+            key, (self.num_rows, self.level_dim), dtype=dtype, minval=-1e-4, maxval=1e-4
+        )
+
+
+def _corner_offsets(input_dim: int) -> np.ndarray:
+    """[2^D, D] binary corner offsets in CUDA bit order (bit d of idx)."""
+    idx = np.arange(2**input_dim, dtype=np.uint32)
+    return ((idx[:, None] >> np.arange(input_dim)[None, :]) & 1).astype(np.int32)
+
+
+def _level_indices(
+    cfg: GridConfig, level: int, pos_grid: jnp.ndarray
+) -> jnp.ndarray:
+    """Map integer corner coords [..., D] to row indices within a level.
+
+    Static replication of ``get_grid_index`` (gridencoder.cu:66-84):
+    accumulate a row-major dense index only over dims whose stride still
+    fits in the table; hash grids switch to fast_hash on overflow.
+    """
+    offs = cfg.offsets
+    hashmap_size = offs[level + 1] - offs[level]
+    res = cfg.level_resolution(level)
+    side = res if cfg.align_corners else res + 1
+
+    pg = pos_grid.astype(jnp.uint32)
+    index = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
+    stride = 1
+    overflow = False
+    for d in range(cfg.input_dim):
+        if stride > hashmap_size:
+            overflow = True
+            break
+        index = index + pg[..., d] * jnp.uint32(stride)
+        stride *= side
+    if stride > hashmap_size:
+        overflow = True
+
+    if cfg.gridtype == "hash" and overflow:
+        h = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
+        for d in range(cfg.input_dim):
+            h = h ^ (pg[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+        index = h
+
+    return (index % jnp.uint32(hashmap_size)).astype(jnp.int32)
+
+
+def grid_encode(
+    x: jnp.ndarray,
+    embeddings: jnp.ndarray,
+    cfg: GridConfig,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Encode points ``x`` in [0, 1]^D → features [..., L * C].
+
+    Args:
+      x: [..., D] coordinates; values outside [0, 1] yield zeros.
+      embeddings: [num_rows, C] table from :meth:`GridConfig.init`.
+      cfg: static grid geometry.
+      compute_dtype: optional dtype for the gather+FMA (e.g. bf16).
+    """
+    if x.shape[-1] != cfg.input_dim:
+        raise ValueError(f"expected [..., {cfg.input_dim}] input, got {x.shape}")
+    batch_shape = x.shape[:-1]
+    x = x.reshape(-1, cfg.input_dim)
+    # coordinates need at least f32 precision (the CUDA kernel always
+    # uses float for pos math); keep f64 if given f64 (gradcheck).
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+    table = embeddings if compute_dtype is None else embeddings.astype(compute_dtype)
+    corners = jnp.asarray(_corner_offsets(cfg.input_dim))  # [2^D, D]
+    oob = jnp.any((xf < 0.0) | (xf > 1.0), axis=-1)  # [B]
+
+    outs = []
+    for level in range(cfg.num_levels):
+        scale = cfg.level_scale(level)
+        pos = xf * scale + (0.0 if cfg.align_corners else 0.5)
+        pos_floor = jnp.floor(pos)
+        frac = pos - pos_floor
+        if cfg.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        # corner integer coords: [B, 2^D, D]
+        corner_pos = pos_floor[:, None, :].astype(jnp.int32) + corners[None, :, :]
+        idx = _level_indices(cfg, level, corner_pos)  # [B, 2^D]
+        # d-linear weights: [B, 2^D]
+        w = jnp.prod(
+            jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]),
+            axis=-1,
+        )
+        vals = jnp.take(table, idx + cfg.offsets[level], axis=0)  # [B, 2^D, C]
+        feat = jnp.einsum("bk,bkc->bc", w.astype(vals.dtype), vals)
+        outs.append(feat)
+
+    out = jnp.concatenate(outs, axis=-1)  # [B, L*C]
+    out = jnp.where(oob[:, None], jnp.zeros_like(out), out)
+    return out.reshape(*batch_shape, cfg.output_dim)
+
+
+def grid_tv_loss(
+    embeddings: jnp.ndarray,
+    cfg: GridConfig,
+    levels: Optional[Sequence[int]] = None,
+    bound_box: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Total-variation regulariser over dense (non-hashed) levels.
+
+    JAX-idiomatic replacement for the reference's
+    ``grad_total_variation`` (gridencoder.cu:506-645), which injects TV
+    gradients directly into ``.grad``: here we return a scalar loss to
+    be added to the objective, and autodiff produces the same scatter
+    pattern. Only levels whose table is dense (no hash collisions) have
+    a well-defined neighbour structure; hashed levels are skipped.
+    """
+    total = jnp.float32(0.0)
+    offs = cfg.offsets
+    n_terms = 0
+    for level in range(cfg.num_levels) if levels is None else levels:
+        res = cfg.level_resolution(level)
+        side = res if cfg.align_corners else res + 1
+        if side**cfg.input_dim > offs[level + 1] - offs[level]:
+            continue  # hashed level: neighbours are not adjacent rows
+        shape = (side,) * cfg.input_dim + (cfg.level_dim,)
+        # rows were laid out with dim-0 fastest (stride 1), so reverse axes
+        dense = embeddings[offs[level] : offs[level] + side**cfg.input_dim]
+        dense = dense.reshape(tuple(reversed(shape[:-1])) + (cfg.level_dim,))
+        for axis in range(cfg.input_dim):
+            d = jnp.diff(dense, axis=axis)
+            total = total + jnp.mean(d.astype(jnp.float32) ** 2)
+            n_terms += 1
+    if n_terms == 0:
+        return jnp.float32(0.0)
+    return total / n_terms
