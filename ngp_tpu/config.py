@@ -1,0 +1,93 @@
+"""Typed configuration dataclasses.
+
+Replaces the reference's argparse-namespace-splat idiom (``vars(opt)``
+forwarded into render calls, ``nerf/utils.py:510``) with explicit,
+hashable, static dataclasses — required anyway for jit static args.
+Flag surface mirrors ``main_nerf.py:15-63``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Scene/rendering geometry — the NeRFRenderer constructor surface
+    (nerf/renderer.py:61-101) plus the per-call render kwargs."""
+
+    bound: float = 1.0
+    density_scale: float = 1.0
+    min_near: float = 0.2
+    density_thresh: float = 0.01
+    bg_radius: float = -1.0
+
+    # non-accelerated path (renderer.run)
+    num_steps: int = 128
+    upsample_steps: int = 128
+
+    # accelerated path (occupancy grid marching)
+    grid_size: int = 128
+    dt_gamma: float = 0.0
+    max_steps: int = 1024
+    t_thresh: float = 1e-4
+    # static per-ray sample budget for the fixed-shape TPU march; the
+    # CUDA reference packs variable counts with atomics (mean_count
+    # heuristic, raymarching.py:198-203) — on TPU the budget is a
+    # compile-time constant instead.
+    max_samples_per_ray: int = 256
+
+    @property
+    def cascades(self) -> int:
+        return 1 + math.ceil(math.log2(max(self.bound, 1.0)))
+
+    @property
+    def aabb(self) -> Tuple[float, ...]:
+        b = self.bound
+        return (-b, -b, -b, b, b, b)
+
+
+@dataclasses.dataclass(frozen=True)
+class NetworkConfig:
+    """NeRFNetwork topology (nerf/network.py:10-31)."""
+
+    encoding: str = "hashgrid"
+    encoding_dir: str = "sphere_harmonics"
+    encoding_bg: str = "hashgrid"
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+    num_layers_bg: int = 2
+    hidden_dim_bg: int = 64
+    # encoder geometry
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    sh_degree: int = 4
+    # compute precision for MLPs/encoders ("bfloat16" replaces the
+    # reference's fp16 AMP + GradScaler; bf16 needs no loss scaling)
+    use_bf16: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Trainer/optimization surface (main_nerf.py flags + Trainer args)."""
+
+    iters: int = 30000
+    lr: float = 1e-2
+    num_rays: int = 4096
+    eval_interval: int = 50  # epochs
+    update_extra_interval: int = 16
+    max_keep_ckpt: int = 2
+    ema_decay: float = 0.95
+    error_map: bool = False
+    patch_size: int = 1
+    rand_pose: int = -1
+    seed: int = 0
+    workspace: str = "workspace"
+    ckpt: str = "latest"

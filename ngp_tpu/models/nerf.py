@@ -1,0 +1,124 @@
+"""Instant-ngp style NeRF network head.
+
+TPU-native equivalent of the reference's ``nerf/network.py:10-207``
+(`NeRFNetwork`): hashgrid → 2-layer sigma MLP (out 1+geo_feat), SH(dir)
+⊕ geo_feat → 3-layer color MLP (sigmoid), optional background net
+(2-D hashgrid over sphere coords ⊕ SH(dir) → 2-layer MLP).
+
+Differences by design (TPU-first):
+- flax.linen module with named methods, pure params, no renderer base
+  class — rendering lives in :mod:`ngp_tpu.models.renderer` as
+  functions over (apply_fn, params).
+- all MLPs run in bf16 on the MXU when ``use_bf16`` (replaces fp16
+  AMP); the hash table gathers in bf16 too, grads accumulate fp32.
+- no masked-inference `color(mask=...)` variant: TPU batches are dense
+  fixed shapes, masking happens in the compositor.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ngp_tpu.config import NetworkConfig, RenderConfig
+from ngp_tpu.models.encoders import get_encoder
+from ngp_tpu.models.mlp import MLP
+from ngp_tpu.ops.activation import trunc_exp
+
+
+class NeRFNetwork(nn.Module):
+    cfg: NetworkConfig
+    render: RenderConfig
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.bfloat16 if c.use_bf16 else None
+        self.encoder, self.in_dim = get_encoder(
+            c.encoding,
+            num_levels=c.num_levels,
+            level_dim=c.level_dim,
+            base_resolution=c.base_resolution,
+            log2_hashmap_size=c.log2_hashmap_size,
+            desired_resolution=int(2048 * self.render.bound),
+            compute_dtype=dtype,
+        )
+        self.sigma_net = MLP(
+            dim_out=1 + c.geo_feat_dim,
+            dim_hidden=c.hidden_dim,
+            num_layers=c.num_layers,
+            compute_dtype=dtype,
+            name="sigma_net",
+        )
+        self.encoder_dir, self.in_dim_dir = get_encoder(
+            c.encoding_dir, degree=c.sh_degree
+        )
+        self.color_net = MLP(
+            dim_out=3,
+            dim_hidden=c.hidden_dim_color,
+            num_layers=c.num_layers_color,
+            compute_dtype=dtype,
+            name="color_net",
+        )
+        if self.render.bg_radius > 0:
+            self.encoder_bg, self.in_dim_bg = get_encoder(
+                c.encoding_bg,
+                input_dim=2,
+                num_levels=4,
+                log2_hashmap_size=19,
+                desired_resolution=2048,
+                compute_dtype=dtype,
+            )
+            self.bg_net = MLP(
+                dim_out=3,
+                dim_hidden=c.hidden_dim_bg,
+                num_layers=c.num_layers_bg,
+                compute_dtype=dtype,
+                name="bg_net",
+            )
+
+    def _scale_to_unit(self, x):
+        """[-bound, bound] → [0, 1] for the grid encoder (grid.py:149)."""
+        b = self.render.bound
+        return (x + b) / (2 * b)
+
+    def density(self, x):
+        """x: [..., 3] in [-bound, bound] → (sigma [...], geo_feat [..., G])."""
+        h = self.encoder(self._scale_to_unit(x))
+        h = self.sigma_net(h)
+        sigma = trunc_exp(h[..., 0].astype(jnp.float32))
+        geo_feat = h[..., 1:]
+        return sigma, geo_feat
+
+    def color(self, d, geo_feat):
+        """d: [..., 3] unit dirs; geo_feat from :meth:`density` → rgb [..., 3]."""
+        de = self.encoder_dir(d)
+        h = jnp.concatenate([de.astype(geo_feat.dtype), geo_feat], axis=-1)
+        h = self.color_net(h)
+        return nn.sigmoid(h.astype(jnp.float32))
+
+    def __call__(self, x, d):
+        """Full forward: (sigma [...], rgb [..., 3])."""
+        sigma, geo_feat = self.density(x)
+        rgb = self.color(d, geo_feat)
+        return sigma, rgb
+
+    def full_init(self, x, d):
+        """Init-time method touching every submodule (flax only creates
+        params for modules traced during ``init``): forward + background."""
+        sigma, rgb = self(x, d)
+        if self.render.bg_radius > 0:
+            sph = jnp.zeros(x.shape[:-1] + (2,), dtype=x.dtype)
+            rgb = rgb + 0.0 * self.background(sph, d)
+        return sigma, rgb
+
+    def background(self, sph, d):
+        """sph: [..., 2] in [-1, 1] (sphere coords); d: [..., 3] → rgb."""
+        if self.render.bg_radius <= 0:
+            raise ValueError("background() requires bg_radius > 0")
+        h = self.encoder_bg((sph + 1.0) / 2.0)
+        de = self.encoder_dir(d)
+        h = jnp.concatenate([de.astype(h.dtype), h], axis=-1)
+        h = self.bg_net(h)
+        return nn.sigmoid(h.astype(jnp.float32))

@@ -1,0 +1,57 @@
+"""Functional train state.
+
+Replaces the reference Trainer's mutable model/optimizer/scaler/EMA
+attributes (nerf/utils.py:380-397) with one immutable pytree threaded
+through a jitted step. bf16 compute needs no GradScaler, so there is no
+scaler state; EMA is a plain shadow pytree (torch_ema equivalent,
+nerf/utils.py:388-391).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: int
+    params: Any
+    opt_state: Any
+    ema_params: Any  # None when EMA disabled
+
+
+def create_train_state(
+    params: Any,
+    tx: optax.GradientTransformation,
+    use_ema: bool = True,
+) -> TrainState:
+    return TrainState(
+        step=0,
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(lambda x: x, params) if use_ema else None,
+    )
+
+
+def apply_gradients(
+    state: TrainState, grads: Any, tx: optax.GradientTransformation
+) -> TrainState:
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return state.replace(
+        step=state.step + 1, params=new_params, opt_state=new_opt_state
+    )
+
+
+def update_ema(state: TrainState, decay: float) -> TrainState:
+    """shadow = decay * shadow + (1 - decay) * params (torch_ema semantics)."""
+    if state.ema_params is None:
+        return state
+    new_ema = jax.tree.map(
+        lambda e, p: decay * e + (1.0 - decay) * p, state.ema_params, state.params
+    )
+    return state.replace(ema_params=new_ema)

@@ -9,7 +9,9 @@ JAX initialises its backends, hence the top-of-file placement.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the container sets JAX_PLATFORMS=axon (remote TPU
+# tunnel); tests must run on local virtual CPU devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
