@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: occupancy-grid NeRF training throughput on real TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference CUDA torch-ngp trains lego `-O` at 97 it/s
+with 4096 rays/it on a V100 (readme.md:213) = 397,312 rays/s. The
+driver's north star asks for rays/sec/chip within 1.2x of that;
+vs_baseline here is (our rays/s) / 397312, so >= 0.83 meets the bar
+and > 1 beats the CUDA reference outright.
+
+Method: train the flagship GridNeRFTrainer on the procedural synthetic
+scene (400x400 RGBA frames, bound 1.0 — lego-like settings) with 4096
+rays/step for a warmup + timed window, counting full train steps
+(render + backward + adam + density-grid refresh every 16 steps, same
+cadence as the reference's benchmark numbers).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_RAYS_PER_SEC = 97 * 4096  # V100 reference (readme.md:213)
+
+
+def main():
+    import jax
+
+    from ngp_tpu.config import NetworkConfig, RenderConfig, TrainConfig
+    from ngp_tpu.data.nerf_dataset import NeRFDataset
+    from ngp_tpu.data.synthetic import make_synthetic_dataset
+    from ngp_tpu.models.nerf import NeRFNetwork
+    from ngp_tpu.training.nerf_grid import GridNeRFTrainer
+
+    cache = os.environ.get("NGP_BENCH_DATA", "/root/.ngp_bench_data")
+    make_synthetic_dataset(cache, n_train=16, n_val=1, n_test=1, H=400, W=400)
+    train_ds = NeRFDataset(cache, split="train", scale=0.8)
+
+    render_cfg = RenderConfig(
+        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=1024,
+        max_samples_per_ray=128, grid_size=128, density_thresh=10.0,
+    )
+    net_cfg = NetworkConfig(use_bf16=True)
+    train_cfg = TrainConfig(
+        iters=30000, lr=1e-2, num_rays=4096, workspace="/tmp/bench_ws",
+        update_extra_interval=16,
+    )
+    model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
+    trainer = GridNeRFTrainer(
+        model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False
+    )
+    trainer.ensure_initialized()
+    trainer.mark_untrained(train_ds.poses, train_ds.intrinsics, train_ds.H, train_ds.W)
+
+    epoch_iter = trainer.make_loader(train_ds)
+
+    def run_steps(n):
+        it = epoch_iter()
+        done = 0
+        while done < n:
+            for batch in epoch_iter():
+                trainer.on_step_begin()
+                trainer.rng, k = jax.random.split(trainer.rng)
+                trainer.state, trainer.aux, metrics = trainer._jit_train_step(
+                    trainer.state, trainer.aux, batch, k
+                )
+                trainer.global_step += 1
+                done += 1
+                if done >= n:
+                    break
+        jax.block_until_ready(trainer.state.params)
+        return metrics
+
+    trainer.ensure_initialized()
+    # warmup: compiles + first grid updates (also sparsifies the grid a
+    # little, as in any real run)
+    run_steps(64)
+    t0 = time.perf_counter()
+    n_timed = 256
+    metrics = run_steps(n_timed)
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_timed / dt
+    rays_per_sec = steps_per_sec * train_cfg.num_rays
+
+    print(
+        json.dumps(
+            {
+                "metric": "lego-like synthetic NeRF -O train throughput (4096 rays/step)",
+                "value": round(rays_per_sec),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

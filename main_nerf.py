@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""NeRF training CLI.
+
+TPU-native equivalent of the reference's ``main_nerf.py``: same flag
+surface (``-O`` = bf16 + accelerated marching + device-resident data,
+which on TPU are all defaults), blender/colmap datasets via
+transforms.json, test-mode video export, marching-cubes mesh export.
+Use ``--synthetic`` to generate and train on the bundled procedural
+scene (no external datasets in this image).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("path", type=str)
+    parser.add_argument("-O", action="store_true", help="recommended settings (bf16 + grid marching; TPU defaults)")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--workspace", type=str, default="workspace")
+    parser.add_argument("--seed", type=int, default=0)
+    # training
+    parser.add_argument("--iters", type=int, default=30000)
+    parser.add_argument("--lr", type=float, default=1e-2)
+    parser.add_argument("--ckpt", type=str, default="latest")
+    parser.add_argument("--num_rays", type=int, default=4096)
+    parser.add_argument("--cuda_ray", action="store_true", help="accelerated occupancy-grid marching (TPU kernel path)")
+    parser.add_argument("--max_steps", type=int, default=1024)
+    parser.add_argument("--num_steps", type=int, default=512)
+    parser.add_argument("--upsample_steps", type=int, default=0)
+    parser.add_argument("--update_extra_interval", type=int, default=16)
+    parser.add_argument("--max_ray_batch", type=int, default=4096)
+    parser.add_argument("--patch_size", type=int, default=1)
+    # network
+    parser.add_argument("--fp16", action="store_true", help="bf16 mixed precision (TPU)")
+    # dataset
+    parser.add_argument("--color_space", type=str, default="srgb")
+    parser.add_argument("--preload", action="store_true", help="no-op: data is always device-resident on TPU")
+    parser.add_argument("--bound", type=float, default=2.0)
+    parser.add_argument("--scale", type=float, default=0.33)
+    parser.add_argument("--offset", type=float, nargs="*", default=[0, 0, 0])
+    parser.add_argument("--dt_gamma", type=float, default=1 / 128)
+    parser.add_argument("--min_near", type=float, default=0.2)
+    parser.add_argument("--density_thresh", type=float, default=10)
+    parser.add_argument("--bg_radius", type=float, default=-1)
+    # experimental
+    parser.add_argument("--error_map", action="store_true")
+    parser.add_argument("--rand_pose", type=int, default=-1)
+    parser.add_argument("--synthetic", action="store_true", help="generate the procedural test scene at <path> if missing")
+    parser.add_argument("--downscale", type=int, default=1)
+    parser.add_argument("--epochs", type=int, default=0, help="override epoch count (default: iters / frames)")
+    parser.add_argument("--save_mesh", action="store_true")
+    return parser
+
+
+def main():
+    opt = build_parser().parse_args()
+    if opt.O:
+        opt.fp16 = True
+        opt.cuda_ray = True
+        opt.preload = True
+    if opt.patch_size > 1:
+        opt.error_map = False
+        assert opt.num_rays % (opt.patch_size**2) == 0
+
+    from ngp_tpu.config import NetworkConfig, RenderConfig, TrainConfig
+    from ngp_tpu.data.nerf_dataset import NeRFDataset
+    from ngp_tpu.models.nerf import NeRFNetwork
+
+    if opt.synthetic:
+        from ngp_tpu.data.synthetic import make_synthetic_dataset
+
+        make_synthetic_dataset(opt.path)
+
+    render_cfg = RenderConfig(
+        bound=opt.bound,
+        min_near=opt.min_near,
+        density_thresh=opt.density_thresh,
+        bg_radius=opt.bg_radius,
+        num_steps=opt.num_steps,
+        upsample_steps=opt.upsample_steps,
+        dt_gamma=opt.dt_gamma,
+        max_steps=opt.max_steps,
+    )
+    net_cfg = NetworkConfig(use_bf16=opt.fp16)
+    train_cfg = TrainConfig(
+        iters=opt.iters,
+        lr=opt.lr,
+        num_rays=opt.num_rays,
+        error_map=opt.error_map,
+        patch_size=opt.patch_size,
+        rand_pose=opt.rand_pose,
+        seed=opt.seed,
+        workspace=opt.workspace,
+        ckpt=opt.ckpt,
+        update_extra_interval=opt.update_extra_interval,
+    )
+
+    model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
+
+    if opt.cuda_ray:
+        from ngp_tpu.training.nerf_grid import GridNeRFTrainer as TrainerCls
+    else:
+        from ngp_tpu.training.nerf import NeRFTrainer as TrainerCls
+
+    trainer = TrainerCls(model, render_cfg, train_cfg)
+
+    if opt.test:
+        trainer.load_checkpoint(
+            None if opt.ckpt == "latest" else opt.ckpt
+        )
+        test_ds = NeRFDataset(opt.path, split="test", scale=opt.scale, offset=opt.offset, downscale=opt.downscale)
+        if test_ds.has_gt:
+            trainer.evaluate(test_ds)
+        trainer.test(test_ds)
+        if opt.save_mesh:
+            trainer.save_mesh(threshold=opt.density_thresh)
+        return
+
+    train_ds = NeRFDataset(
+        opt.path, split="train", scale=opt.scale, offset=opt.offset,
+        downscale=opt.downscale, error_map=opt.error_map, seed=opt.seed,
+    )
+    valid_ds = NeRFDataset(opt.path, split="val", scale=opt.scale, offset=opt.offset, downscale=opt.downscale)
+
+    steps_per_epoch = len(train_ds)
+    max_epochs = opt.epochs or max(1, opt.iters // steps_per_epoch)
+    trainer.load_checkpoint(None if opt.ckpt == "latest" else opt.ckpt)
+    trainer.train_on_dataset(train_ds, valid_ds, max_epochs=max_epochs)
+
+    test_ds = NeRFDataset(opt.path, split="test", scale=opt.scale, offset=opt.offset, downscale=opt.downscale)
+    if test_ds.has_gt:
+        trainer.evaluate(test_ds)
+    trainer.test(test_ds)
+    if opt.save_mesh:
+        trainer.save_mesh(threshold=opt.density_thresh)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,3 +24,19 @@ Package layout mirrors the reference's layer map (SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# Persistent compilation cache: the TPU-tunnel remote compiler in this
+# environment has highly variable latency (seconds to minutes); caching
+# compiled executables on disk makes every graph compile at most once
+# per machine. Harmless on CPU. Users can override via the usual
+# JAX_COMPILATION_CACHE_DIR env var (config honors the env if set).
+import os as _os
+
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    import jax as _jax
+
+    # separate cache per platform: CPU executables AOT-compiled under
+    # the axon config trip machine-feature warnings when reloaded
+    _plat = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
+    _jax.config.update("jax_compilation_cache_dir", f"/root/.jax_cache_{_plat}")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

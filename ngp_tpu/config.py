@@ -39,6 +39,10 @@ class RenderConfig:
     # compile-time constant instead.
     max_samples_per_ray: int = 256
 
+    # D-NeRF: number of time slices in the dynamic density grid
+    # (dnerf/renderer.py:74)
+    time_size: int = 64
+
     @property
     def cascades(self) -> int:
         return 1 + math.ceil(math.log2(max(self.bound, 1.0)))

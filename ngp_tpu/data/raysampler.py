@@ -1,0 +1,126 @@
+"""Ray generation with pixel-sampling strategies — jit-traceable.
+
+TPU-native equivalent of the reference's ``get_rays``
+(nerf/utils.py:53-137). The reference samples pixels on the GPU inside
+the DataLoader collate; here the sampler is a pure jnp function called
+INSIDE the jitted train step, so the whole data path (index sampling,
+error-map multinomial, pixel gather, unprojection) stays on device with
+zero host synchronisation.
+
+Sampling modes (same three as the reference):
+- uniform random pixels (with replacement, ``randint``)
+- error-map weighted: multinomial WITHOUT replacement over a fixed
+  128x128 coarse error grid, upscaled with jitter (utils.py:102-114) —
+  implemented as Gumbel top-k (the standard XLA-friendly equivalent of
+  ``torch.multinomial(replacement=False)``)
+- patch-aligned: random top-left corners + dense patch offsets
+  (utils.py:79-97)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+ERROR_MAP_SIZE = 128  # fixed coarse resolution, as the reference
+
+
+def sample_ray_indices(
+    rng: jax.Array,
+    H: int,
+    W: int,
+    n_rays: int,
+    error_map: Optional[jnp.ndarray] = None,
+    patch_size: int = 1,
+) -> Dict[str, jnp.ndarray]:
+    """Choose ``n_rays`` flat pixel indices in [0, H*W).
+
+    Returns {"inds": [N]} plus {"inds_coarse": [N]} in error-map mode.
+    """
+    out = {}
+    if patch_size > 1:
+        num_patch = n_rays // (patch_size**2)
+        kx, ky = jax.random.split(rng)
+        x0 = jax.random.randint(kx, (num_patch,), 0, H - patch_size)
+        y0 = jax.random.randint(ky, (num_patch,), 0, W - patch_size)
+        pi, pj = jnp.meshgrid(
+            jnp.arange(patch_size), jnp.arange(patch_size), indexing="ij"
+        )
+        offs = jnp.stack([pi.reshape(-1), pj.reshape(-1)], axis=-1)  # [p^2, 2]
+        coords = jnp.stack([x0, y0], axis=-1)[:, None, :] + offs[None, :, :]
+        coords = coords.reshape(-1, 2)
+        out["inds"] = coords[:, 0] * W + coords[:, 1]
+    elif error_map is None:
+        out["inds"] = jax.random.randint(rng, (n_rays,), 0, H * W)
+    else:
+        k1, k2, k3 = jax.random.split(rng, 3)
+        # Gumbel top-k == multinomial without replacement
+        logits = jnp.log(jnp.maximum(error_map.reshape(-1), 1e-12))
+        gumbel = -jnp.log(-jnp.log(jax.random.uniform(k1, logits.shape) + 1e-10) + 1e-10)
+        _, inds_coarse = jax.lax.top_k(logits + gumbel, n_rays)
+        cx = inds_coarse // ERROR_MAP_SIZE
+        cy = inds_coarse % ERROR_MAP_SIZE
+        sx = H / ERROR_MAP_SIZE
+        sy = W / ERROR_MAP_SIZE
+        jx = jax.random.uniform(k2, (n_rays,))
+        jy = jax.random.uniform(k3, (n_rays,))
+        ix = jnp.clip((cx * sx + jx * sx).astype(jnp.int32), 0, H - 1)
+        iy = jnp.clip((cy * sy + jy * sy).astype(jnp.int32), 0, W - 1)
+        out["inds"] = ix * W + iy
+        out["inds_coarse"] = inds_coarse
+    return out
+
+
+def rays_from_indices(
+    pose: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    H: int,
+    W: int,
+    inds: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """Unproject flat pixel indices into world rays (utils.py:117-133).
+
+    pose: [4, 4] cam2world; intrinsics: [4] (fx, fy, cx, cy);
+    inds: [N] flat indices (row-major, x = inds // W is the row).
+    """
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    row = (inds // W).astype(jnp.float32) + 0.5
+    col = (inds % W).astype(jnp.float32) + 0.5
+    # reference convention: i (x) runs over width, j (y) over height
+    xs = (col - cx) / fx
+    ys = (row - cy) / fy
+    dirs = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays_d = dirs @ pose[:3, :3].T
+    rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
+    return {"rays_o": rays_o, "rays_d": rays_d}
+
+
+def full_frame_rays(
+    pose: jnp.ndarray, intrinsics: jnp.ndarray, H: int, W: int
+) -> Dict[str, jnp.ndarray]:
+    """All H*W rays of a frame, row-major."""
+    inds = jnp.arange(H * W)
+    return rays_from_indices(pose, intrinsics, H, W, inds)
+
+
+def full_frame_rays_np(pose, intrinsics, H: int, W: int):
+    """Numpy variant of :func:`full_frame_rays` for HOST-side staging
+    code (eager jnp ops pay per-op dispatch/compile latency on the
+    remote-TPU tunnel; frame-prep outside jit should stay in numpy)."""
+    import numpy as np
+
+    pose = np.asarray(pose, np.float32)
+    fx, fy, cx, cy = np.asarray(intrinsics, np.float32)
+    inds = np.arange(H * W)
+    row = (inds // W).astype(np.float32) + 0.5
+    col = (inds % W).astype(np.float32) + 0.5
+    xs = (col - cx) / fx
+    ys = (row - cy) / fy
+    dirs = np.stack([xs, ys, np.ones_like(xs)], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays_d = dirs @ pose[:3, :3].T
+    rays_o = np.broadcast_to(pose[:3, 3], rays_d.shape).copy()
+    return {"rays_o": rays_o, "rays_d": rays_d.astype(np.float32)}

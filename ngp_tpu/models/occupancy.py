@@ -1,0 +1,466 @@
+"""Occupancy-grid accelerated ray marching — the TPU-native redesign of
+the reference's CUDA raymarching extension.
+
+Reference semantics being reproduced (SURVEY.md §2.1, §3.4):
+- multi-cascade density grid [CAS, 128^3]; cascade c covers
+  [-min(2^c, bound), min(2^c, bound)]^3 (renderer.py:73, 87-101)
+- mip level per sample = max(mip_from_pos, mip_from_dt)
+  (raymarching.cu:42-54)
+- adaptive step dt = clamp(t * dt_gamma, dt_min, dt_max) with
+  dt_min = 2*sqrt(3)/max_steps, dt_max = 2*sqrt(3)*2^(C-1)/H
+  (raymarching.cu:345-346)
+- EMA-max density-grid update with jittered cell-center queries;
+  full sweep for the first 16 updates, then partial random refresh
+  (renderer.py:445-536); packbits threshold min(mean_density,
+  density_thresh)
+- mark_untrained_grid: cells seen by no training camera get -1 and are
+  never marked occupied (renderer.py:380-442)
+
+TPU-first redesign (NOT a translation):
+- The CUDA marcher is a per-ray DDA with atomic packing into a dynamic
+  [M, 3] buffer. Observation: in BOTH its branches (occupied: record
+  and step; empty: skip) the parameter t advances through the SAME
+  recurrence t_{k+1} = t_k + clamp(t_k*gamma, dt_min, dt_max) — the
+  visited t values form a deterministic lattice independent of
+  occupancy. So the march becomes: (1) materialise the t-lattice in
+  closed form / one scan, (2) gather occupancy at every lattice point
+  (cheap: one uint8 load per point), (3) compact each ray's occupied
+  points to a static per-ray budget S with a cumsum + scatter
+  (replacing atomicAdd packing), (4) evaluate the network ONCE on the
+  dense [N, S] batch (MXU-shaped), (5) composite with an exclusive
+  cumprod (autodiff gives the analytic backward raymarching.cu:602-693
+  for free). Inference early-exit (alive-ray compaction,
+  raymarching.cu:700-914) becomes transmittance masking: samples after
+  T < T_thresh get zero weight, which is bitwise the same result.
+- The grid lives in plain row-major (cascade, x, y, z) order — Morton
+  order buys DDA cache locality on GPU, nothing for XLA gathers.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ngp_tpu.config import RenderConfig
+from ngp_tpu.ops.morton import packbits
+from ngp_tpu.ops.rays import near_far_from_aabb, sph_from_ray
+
+SQRT3 = math.sqrt(3.0)
+
+
+@flax.struct.dataclass
+class OccupancyState:
+    """Device-side density-grid state (renderer.py:87-101)."""
+
+    density_grid: jnp.ndarray  # [CAS, H, H, H] f32; -1 = untrained
+    occ_grid: jnp.ndarray  # [CAS, H, H, H] bool (thresholded)
+    mean_density: jnp.ndarray  # scalar f32
+    iter_density: jnp.ndarray  # scalar i32
+
+
+def init_occupancy(cfg: RenderConfig) -> OccupancyState:
+    H = cfg.grid_size
+    cas = cfg.cascades
+    return OccupancyState(
+        density_grid=jnp.zeros((cas, H, H, H), jnp.float32),
+        occ_grid=jnp.ones((cas, H, H, H), jnp.bool_),  # start fully occupied
+        mean_density=jnp.float32(0.0),
+        iter_density=jnp.int32(0),
+    )
+
+
+def bitfield(state: OccupancyState) -> jnp.ndarray:
+    """uint8 bitfield view (API/checkpoint parity with the reference's
+    density_bitfield; bit order matches packbits, raymarching.cu:268)."""
+    return packbits(state.occ_grid.astype(jnp.float32).reshape(-1), 0.5)
+
+
+# ---------------------------------------------------------------------------
+# mip levels
+# ---------------------------------------------------------------------------
+
+
+def _frexp_exponent(x: jnp.ndarray) -> jnp.ndarray:
+    """IEEE frexp exponent: x = m * 2^e with m in [0.5, 1)."""
+    safe = jnp.maximum(x, 1e-30)
+    return (jnp.floor(jnp.log2(safe)) + 1).astype(jnp.int32)
+
+
+def mip_from_pos(x: jnp.ndarray, cascades: int) -> jnp.ndarray:
+    """raymarching.cu:42-47: cascade from |pos| (frexp exponent of max axis)."""
+    mx = jnp.max(jnp.abs(x), axis=-1)
+    return jnp.clip(_frexp_exponent(mx), 0, cascades - 1)
+
+
+def mip_from_dt(dt: jnp.ndarray, grid_size: int, cascades: int) -> jnp.ndarray:
+    """raymarching.cu:49-54: cascade whose cell size matches dt."""
+    mx = dt * grid_size * 0.5
+    return jnp.clip(_frexp_exponent(mx), 0, cascades - 1)
+
+
+# ---------------------------------------------------------------------------
+# marching
+# ---------------------------------------------------------------------------
+
+
+def t_lattice(
+    nears: jnp.ndarray,
+    fars: jnp.ndarray,
+    cfg: RenderConfig,
+    noise: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The deterministic march lattice (t values + step sizes), [N, K].
+
+    K = cfg.max_steps. For dt_gamma == 0 this is closed-form
+    (t0 + k*dt_min); otherwise one lax.scan of length K.
+    """
+    K = cfg.max_steps
+    dt_min = 2.0 * SQRT3 / cfg.max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (cfg.cascades - 1)) / cfg.grid_size
+
+    def dt_of(t):
+        return jnp.clip(t * cfg.dt_gamma, dt_min, dt_max)
+
+    t0 = nears
+    if noise is not None:
+        t0 = t0 + dt_of(t0) * noise  # perturbed start (raymarching.cu:352)
+
+    if cfg.dt_gamma == 0.0:
+        ks = jnp.arange(K, dtype=jnp.float32)
+        ts = t0[:, None] + ks[None, :] * dt_min
+        dts = jnp.full_like(ts, dt_min)
+        return ts, dts
+
+    def body(t, _):
+        d = dt_of(t)
+        return t + d, (t, d)
+
+    _, (ts, dts) = jax.lax.scan(body, t0, None, length=K)
+    return ts.T, dts.T  # [N, K]
+
+
+def occupancy_at(
+    state: OccupancyState, x: jnp.ndarray, dt: jnp.ndarray, cfg: RenderConfig
+) -> jnp.ndarray:
+    """Gather occupancy for world points x [..., 3] with step sizes dt."""
+    H = cfg.grid_size
+    cas = cfg.cascades
+    level = jnp.maximum(
+        mip_from_pos(x, cas), mip_from_dt(dt, H, cas)
+    )  # [...]
+    mip_bound = jnp.minimum(2.0**level.astype(jnp.float32), cfg.bound)
+    # nearest cell (raymarching.cu:372-375)
+    n = jnp.clip(
+        (0.5 * (x / mip_bound[..., None] + 1.0) * H).astype(jnp.int32), 0, H - 1
+    )
+    flat = state.occ_grid.reshape(cas, -1)
+    cell = (n[..., 0] * H + n[..., 1]) * H + n[..., 2]
+    return flat[level, cell]
+
+
+def march_rays(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    state: OccupancyState,
+    cfg: RenderConfig,
+    rng: Optional[jax.Array] = None,
+    perturb: bool = False,
+    max_samples: Optional[int] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Fixed-shape masked equivalent of march_rays_train
+    (raymarching.cu:312-490).
+
+    Returns per-ray compacted samples:
+      xyzs [N, S, 3], dirs [N, S, 3], ts [N, S], deltas [N, S],
+      mask [N, S] (valid samples), nears/fars [N].
+    """
+    S = max_samples or cfg.max_samples_per_ray
+    N = rays_o.shape[0]
+    aabb = jnp.asarray(cfg.aabb, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+    hit = fars > nears
+    fars_c = jnp.where(hit, fars, nears)
+
+    noise = None
+    if perturb and rng is not None:
+        noise = jax.random.uniform(rng, (N,))
+    ts, dts = t_lattice(nears, fars_c, cfg, noise)  # [N, K]
+    K = ts.shape[1]
+
+    x = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
+    x = jnp.clip(x, -cfg.bound, cfg.bound)
+    occ = occupancy_at(state, x, dts, cfg)  # [N, K] bool
+    valid = occ & (ts < fars_c[:, None]) & hit[:, None]
+
+    # compact the first S valid lattice points per ray (replaces the
+    # CUDA atomicAdd packing, raymarching.cu:405-414). TPU-friendly
+    # formulation: NO scatter — slot s of a ray is the index of its
+    # (s+1)-th valid candidate, found by vectorized binary search on
+    # the running count of valids; then plain gathers. (A scatter here
+    # serializes on TPU and costs seconds per step.)
+    cum = jnp.cumsum(valid.astype(jnp.int32), axis=-1)  # [N, K] monotone
+    targets = jnp.arange(1, S + 1, dtype=jnp.int32)  # [S]
+    pos = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(cum)  # [N, S]
+    n_total = cum[:, -1]  # [N]
+    mask = targets[None, :] <= n_total[:, None]  # [N, S]
+    pos_safe = jnp.minimum(pos, K - 1)
+    ts_c = jnp.where(mask, jnp.take_along_axis(ts, pos_safe, axis=1), 0.0)
+    dts_c = jnp.where(mask, jnp.take_along_axis(dts, pos_safe, axis=1), 0.0)
+
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts_c[..., None]
+    xyzs = jnp.clip(xyzs, -cfg.bound, cfg.bound)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+    return {
+        "xyzs": xyzs,
+        "dirs": dirs,
+        "ts": ts_c,
+        "deltas": dts_c,
+        "mask": mask,
+        "nears": nears,
+        "fars": fars,
+    }
+
+
+def composite_rays(
+    sigmas: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    ts: jnp.ndarray,
+    deltas: jnp.ndarray,
+    mask: jnp.ndarray,
+    nears: jnp.ndarray,
+    fars: jnp.ndarray,
+    density_scale: float = 1.0,
+    t_thresh: float = 1e-4,
+) -> Dict[str, jnp.ndarray]:
+    """Masked front-to-back compositing over compacted samples.
+
+    Equivalent of composite_rays_train fwd (raymarching.cu:501-588);
+    early termination at transmittance < t_thresh becomes a mask (the
+    contributions it skips are exactly the ones zeroed here). Depth is
+    normalized to [0, 1] in [near, far] as the reference's staged path.
+    """
+    sigmas = sigmas.astype(jnp.float32)
+    alphas = 1.0 - jnp.exp(-deltas * density_scale * sigmas)
+    alphas = jnp.where(mask, alphas, 0.0)
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-15], axis=-1
+    )
+    trans = jnp.cumprod(shifted, axis=-1)[..., :-1]
+    weights = jnp.where(trans > t_thresh, alphas * trans, 0.0)
+    weights_sum = jnp.sum(weights, axis=-1)
+    image = jnp.sum(weights[..., None] * rgbs.astype(jnp.float32), axis=-2)
+    span = jnp.maximum(fars - nears, 1e-10)
+    depth = jnp.sum(weights * jnp.clip((ts - nears[:, None]) / span[:, None], 0, 1), axis=-1)
+    return {
+        "weights": weights,
+        "weights_sum": weights_sum,
+        "image": image,
+        "depth": depth,
+    }
+
+
+def render_rays_grid(
+    density_fn: Callable,
+    color_fn: Callable,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    state: OccupancyState,
+    cfg: RenderConfig,
+    rng: Optional[jax.Array] = None,
+    perturb: bool = False,
+    bg_color=None,
+    bg_fn: Optional[Callable] = None,
+    max_samples: Optional[int] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full accelerated render: march → network → composite
+    (run_cuda equivalent, renderer.py:256-321)."""
+    m = march_rays(rays_o, rays_d, state, cfg, rng=rng, perturb=perturb, max_samples=max_samples)
+    sigmas, geo = density_fn(m["xyzs"])
+    rgbs = color_fn(m["dirs"], geo)
+    out = composite_rays(
+        sigmas, rgbs, m["ts"], m["deltas"], m["mask"], m["nears"], m["fars"],
+        density_scale=cfg.density_scale, t_thresh=cfg.t_thresh,
+    )
+    if bg_fn is not None and cfg.bg_radius > 0:
+        sph = sph_from_ray(rays_o, rays_d, cfg.bg_radius)
+        bg = bg_fn(sph, rays_d)
+    elif bg_color is None:
+        bg = jnp.float32(1.0)
+    else:
+        bg = bg_color
+    out["image"] = out["image"] + (1.0 - out["weights_sum"])[..., None] * bg
+    out["n_samples"] = jnp.sum(m["mask"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# density-grid maintenance
+# ---------------------------------------------------------------------------
+
+
+def _cascade_query_points(
+    coords: jnp.ndarray, cas: int, cfg: RenderConfig, rng: jax.Array
+) -> jnp.ndarray:
+    """Cell coords [N, 3] in [0, H) → jittered world points in cascade
+    (renderer.py:470-478)."""
+    H = cfg.grid_size
+    bound = min(2.0**cas, cfg.bound)
+    half = bound / H
+    xyzs = 2.0 * coords.astype(jnp.float32) / (H - 1) - 1.0
+    xyzs = xyzs * (bound - half)
+    jitter = (jax.random.uniform(rng, xyzs.shape) * 2.0 - 1.0) * half
+    return xyzs + jitter
+
+
+def update_occupancy(
+    state: OccupancyState,
+    density_fn: Callable,
+    cfg: RenderConfig,
+    rng: jax.Array,
+    decay: float = 0.95,
+    density_scale: float = 1.0,
+) -> OccupancyState:
+    """EMA-max density grid refresh + re-threshold
+    (update_extra_state, renderer.py:445-536). jit-compatible: the
+    full-vs-partial choice is a lax.cond on iter_density.
+
+    Partial updates sample H^3/2 random cells per cascade (the
+    reference refreshes H^3/4 random + H^3/4 resampled-occupied cells;
+    uniform refresh of the same budget is shape-static and converges to
+    the same EMA fixed point).
+    """
+    H = cfg.grid_size
+    cas = cfg.cascades
+
+    def query_cells(coords, c, key):
+        pts = _cascade_query_points(coords, c, cfg, key)
+        sigma, _ = density_fn(pts)
+        return sigma.astype(jnp.float32) * density_scale
+
+    def full_update(key):
+        tmp = []
+        xx, yy, zz = jnp.meshgrid(
+            jnp.arange(H), jnp.arange(H), jnp.arange(H), indexing="ij"
+        )
+        coords = jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+        # chunk via lax.map: compiles the query body once instead of
+        # inlining an H^3-point graph (kind to the compiler; the
+        # reference's S=128 chunk loop serves the same purpose,
+        # renderer.py:456-462)
+        n_chunks = max(1, (H**3) // (128 * 128 * 8))
+        coords_c = coords.reshape(n_chunks, -1, 3)
+        for c in range(cas):
+            key, k = jax.random.split(key)
+            keys = jax.random.split(k, n_chunks)
+            sig = jax.lax.map(
+                lambda ck: query_cells(ck[0], c, ck[1]), (coords_c, keys)
+            )
+            tmp.append(sig.reshape(H, H, H))
+        return jnp.stack(tmp)
+
+    def partial_update(key):
+        # Refresh a random contiguous x-slab of H/4 planes per cascade
+        # (~the reference's H^3/4-cell budget, renderer.py:488-514).
+        # TPU-first divergence: the reference refreshes RANDOM cells +
+        # resampled occupied cells via scatter; scatters serialize on
+        # TPU, so we sweep rotating slabs with dynamic_update_slice —
+        # same refresh budget and the same EMA fixed point, fully
+        # vectorized. Jittered cell-center queries are identical.
+        thickness = max(H // 4, 1)
+        tmp = jnp.full((cas, H, H, H), -1.0, jnp.float32)
+        yz = jnp.meshgrid(jnp.arange(thickness), jnp.arange(H), jnp.arange(H), indexing="ij")
+        base = jnp.stack(yz, axis=-1).reshape(-1, 3)  # x-local coords
+        for c in range(cas):
+            key, kx, kq = jax.random.split(key, 3)
+            x0 = jax.random.randint(kx, (), 0, H - thickness + 1)
+            coords = base.at[:, 0].add(x0)
+            sig = query_cells(coords, c, kq).reshape(thickness, H, H)
+            tmp = jax.lax.dynamic_update_slice(tmp, sig[None], (c, x0, 0, 0))
+        return tmp
+
+    tmp_grid = jax.lax.cond(
+        state.iter_density < 16, full_update, partial_update, rng
+    )
+
+    valid = (state.density_grid >= 0) & (tmp_grid >= 0)
+    new_grid = jnp.where(
+        valid, jnp.maximum(state.density_grid * decay, tmp_grid), state.density_grid
+    )
+    mean_density = jnp.mean(jnp.maximum(new_grid, 0.0))
+    thresh = jnp.minimum(mean_density, cfg.density_thresh)
+    occ = new_grid > thresh
+    return OccupancyState(
+        density_grid=new_grid,
+        occ_grid=occ,
+        mean_density=mean_density,
+        iter_density=state.iter_density + 1,
+    )
+
+
+def mark_untrained_grid(
+    state: OccupancyState,
+    poses: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    H_img: int,
+    W_img: int,
+    cfg: RenderConfig,
+) -> OccupancyState:
+    """Set cells visible from NO training camera to -1
+    (renderer.py:380-442); they can then never become occupied.
+
+    A cell is 'visible' if its center projects inside some camera's
+    image plane in front of the camera (the reference additionally
+    keeps a half-grid margin; reproduced via the cell radius term).
+    """
+    Hg = cfg.grid_size
+    cas = cfg.cascades
+    fx, fy, cx, cy = (
+        float(intrinsics[0]),
+        float(intrinsics[1]),
+        float(intrinsics[2]),
+        float(intrinsics[3]),
+    )
+
+    xx, yy, zz = jnp.meshgrid(jnp.arange(Hg), jnp.arange(Hg), jnp.arange(Hg), indexing="ij")
+    base = 2.0 * jnp.stack([xx, yy, zz], -1).reshape(-1, 3).astype(jnp.float32) / (Hg - 1) - 1.0
+
+    # world → camera: the pose is cam2world; invert rigidly
+    rot = poses[:, :3, :3]  # [P, 3, 3]
+    trans = poses[:, :3, 3]  # [P, 3]
+
+    new_grid = state.density_grid
+    for c in range(cas):
+        bound = min(2.0**c, cfg.bound)
+        half = bound / Hg
+        pts = base * (bound - half)  # [M, 3] cell centers
+
+        def visible_from_any(p_chunk):
+            # [m, 3] x [P] cameras
+            rel = p_chunk[None, :, :] - trans[:, None, :]  # [P, m, 3]
+            cam = jnp.einsum("pij,pmj->pmi", rot.transpose(0, 2, 1), rel)
+            z = cam[..., 2]
+            in_front = z > 0.01
+            u = cam[..., 0] / jnp.maximum(z, 1e-6) * fx
+            v = cam[..., 1] / jnp.maximum(z, 1e-6) * fy
+            # half-grid-cell tolerance in pixels (renderer.py:418-428)
+            tol_u = half * fx / jnp.maximum(z, 1e-6)
+            tol_v = half * fy / jnp.maximum(z, 1e-6)
+            in_x = jnp.abs(u - (W_img / 2 - cx)) < (W_img / 2 + tol_u)
+            in_y = jnp.abs(v - (H_img / 2 - cy)) < (H_img / 2 + tol_v)
+            return jnp.any(in_front & in_x & in_y, axis=0)  # [m]
+
+        chunk = 2**17
+        vis = []
+        M = pts.shape[0]
+        pad = (-M) % chunk
+        pts_p = jnp.concatenate([pts, jnp.zeros((pad, 3))]) if pad else pts
+        for i in range(0, pts_p.shape[0], chunk):
+            vis.append(visible_from_any(pts_p[i : i + chunk]))
+        visible = jnp.concatenate(vis)[:M].reshape(Hg, Hg, Hg)
+        new_grid = new_grid.at[c].set(jnp.where(visible, new_grid[c], -1.0))
+
+    return state.replace(density_grid=new_grid)

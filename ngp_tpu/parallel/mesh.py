@@ -1,0 +1,35 @@
+"""Mesh + sharding helpers."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_name: str = DATA_AXIS
+) -> Mesh:
+    """1-D device mesh over the data axis (rays)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (ray) dimension across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_pytree(tree, sharding: NamedSharding):
+    """Place every leaf of a pytree with the given sharding."""
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

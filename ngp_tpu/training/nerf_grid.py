@@ -1,0 +1,96 @@
+"""Occupancy-grid accelerated NeRF trainer (the ``-O`` path).
+
+TPU-native equivalent of training with ``--cuda_ray``: the render
+inside the jitted train step goes through the fixed-shape masked
+marcher (:mod:`ngp_tpu.models.occupancy`), and every
+``update_extra_interval`` steps the host loop triggers a jitted
+density-grid refresh (the reference's update_extra_state cadence,
+nerf/utils.py:853-856).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ngp_tpu.models.nerf import NeRFNetwork
+from ngp_tpu.models.occupancy import (
+    OccupancyState,
+    init_occupancy,
+    mark_untrained_grid,
+    render_rays_grid,
+    update_occupancy,
+)
+from ngp_tpu.training.nerf import NeRFTrainer
+
+
+class GridNeRFTrainer(NeRFTrainer):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.use_grid = True
+        self._jit_update_occ = None
+        self._eval_max_samples: Optional[int] = None
+
+    def init_aux(self) -> Any:
+        return {"occ": init_occupancy(self.render_cfg)}
+
+    def render_batch(
+        self, params, rays_o, rays_d, rng=None, perturb=False, bg_color=None, aux=None
+    ):
+        density_fn, color_fn, bg_fn = self._fns(params)
+        occ = aux["occ"] if aux is not None else init_occupancy(self.render_cfg)
+        return render_rays_grid(
+            density_fn,
+            color_fn,
+            rays_o,
+            rays_d,
+            occ,
+            self.render_cfg,
+            rng=rng,
+            perturb=perturb,
+            bg_color=bg_color,
+            bg_fn=bg_fn,
+        )
+
+    # ---- occupancy maintenance -------------------------------------------
+
+    def _update_occupancy(self):
+        if self._jit_update_occ is None:
+            def upd(params, occ: OccupancyState, rng):
+                density_fn = self._fns(params)[0]
+                return update_occupancy(
+                    occ,
+                    density_fn,
+                    self.render_cfg,
+                    rng,
+                    density_scale=self.render_cfg.density_scale,
+                )
+
+            self._jit_update_occ = jax.jit(upd, donate_argnums=(1,))
+        self.rng, k = jax.random.split(self.rng)
+        self.aux = dict(self.aux)
+        self.aux["occ"] = self._jit_update_occ(self.state.params, self.aux["occ"], k)
+
+    def on_step_begin(self):
+        if self.global_step % self.train_cfg.update_extra_interval == 0:
+            self._update_occupancy()
+
+    def mark_untrained(self, poses, intrinsics, H_img: int, W_img: int):
+        """Call once before training (trainer.train hook in the
+        reference, nerf/utils.py:639-640)."""
+        self.ensure_initialized()
+        self.aux = dict(self.aux)
+        self.aux["occ"] = mark_untrained_grid(
+            self.aux["occ"], jnp.asarray(poses), jnp.asarray(intrinsics),
+            H_img, W_img, self.render_cfg,
+        )
+
+    def train_on_dataset(self, train_ds, valid_ds=None, max_epochs: int = 1):
+        self.ensure_initialized()
+        if self.epoch == 0:  # fresh run: cull never-seen cells
+            self.mark_untrained(
+                train_ds.poses, train_ds.intrinsics, train_ds.H, train_ds.W
+            )
+        super().train_on_dataset(train_ds, valid_ds, max_epochs)

@@ -33,7 +33,9 @@ def create_train_state(
         step=0,
         params=params,
         opt_state=tx.init(params),
-        ema_params=jax.tree.map(lambda x: x, params) if use_ema else None,
+        # a real copy: identity tree_map would alias buffers with
+        # params, breaking donation (same buffer donated twice)
+        ema_params=jax.tree.map(lambda x: x + 0, params) if use_ema else None,
     )
 
 
