@@ -198,18 +198,18 @@ def march_rays(
 
     # compact the first S valid lattice points per ray (replaces the
     # CUDA atomicAdd packing, raymarching.cu:405-414). TPU-friendly
-    # formulation: NO scatter — slot s of a ray is the index of its
-    # (s+1)-th valid candidate, found by vectorized binary search on
-    # the running count of valids; then plain gathers. (A scatter here
-    # serializes on TPU and costs seconds per step.)
-    cum = jnp.cumsum(valid.astype(jnp.int32), axis=-1)  # [N, K] monotone
-    targets = jnp.arange(1, S + 1, dtype=jnp.int32)  # [S]
-    pos = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(cum)  # [N, S]
-    n_total = cum[:, -1]  # [N]
-    mask = targets[None, :] <= n_total[:, None]  # [N, S]
-    pos_safe = jnp.minimum(pos, K - 1)
-    ts_c = jnp.where(mask, jnp.take_along_axis(ts, pos_safe, axis=1), 0.0)
-    dts_c = jnp.where(mask, jnp.take_along_axis(dts, pos_safe, axis=1), 0.0)
+    # formulation: NO scatter, NO searchsorted (a scatter serializes on
+    # TPU; batched searchsorted costs 100ms+). Give valid candidates
+    # key = k and invalid ones key = K + k, then the S smallest keys —
+    # via the TPU-optimized top_k — are exactly the first S valid
+    # indices in march order (~20us for 4096x1024).
+    ks = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (N, K))
+    key = jnp.where(valid, ks, ks + K)
+    _, pos = jax.lax.top_k(-key, S)  # [N, S] ascending-key indices
+    n_total = jnp.sum(valid, axis=-1)  # [N]
+    mask = jnp.arange(S, dtype=jnp.int32)[None, :] < n_total[:, None]
+    ts_c = jnp.where(mask, jnp.take_along_axis(ts, pos, axis=1), 0.0)
+    dts_c = jnp.where(mask, jnp.take_along_axis(dts, pos, axis=1), 0.0)
 
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts_c[..., None]
     xyzs = jnp.clip(xyzs, -cfg.bound, cfg.bound)

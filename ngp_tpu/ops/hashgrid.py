@@ -63,10 +63,13 @@ class GridConfig:
             raise ValueError(f"unknown interpolation {self.interpolation}")
         if self.desired_resolution is not None:
             # finest-level resolution overrides per_level_scale (grid.py:99-102)
-            s = math.exp2(
-                math.log2(self.desired_resolution / self.base_resolution)
-                / (self.num_levels - 1)
-            )
+            if self.num_levels > 1:
+                s = math.exp2(
+                    math.log2(self.desired_resolution / self.base_resolution)
+                    / (self.num_levels - 1)
+                )
+            else:
+                s = 1.0
             object.__setattr__(self, "per_level_scale", s)
 
     # ---- static geometry -------------------------------------------------
