@@ -101,6 +101,78 @@ class DNeRFNetwork(nn.Module):
         return self(x, d, t)
 
 
+class DNeRFHyperNetwork(nn.Module):
+    """Hyper-space variant (dnerf/network_hyper.py): time maps through
+    an ambient MLP to extra grid coordinates; the hash grid becomes
+    (3 + ambient_dim)-dimensional, ambient = tanh(MLP(freq(t))) * bound
+    (network_hyper.py:126-138)."""
+
+    cfg: NetworkConfig
+    render: RenderConfig
+    num_layers_ambient: int = 5
+    hidden_dim_ambient: int = 128
+    ambient_dim: int = 1
+    time_multires: int = 6
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.bfloat16 if c.use_bf16 else None
+        self.ambient_net = MLP(
+            dim_out=self.ambient_dim, dim_hidden=self.hidden_dim_ambient,
+            num_layers=self.num_layers_ambient, compute_dtype=dtype,
+            name="ambient_net",
+        )
+        self.encoder, _ = get_encoder(
+            c.encoding,
+            input_dim=3 + self.ambient_dim,
+            num_levels=c.num_levels, level_dim=c.level_dim,
+            base_resolution=c.base_resolution,
+            log2_hashmap_size=c.log2_hashmap_size,
+            desired_resolution=int(2048 * self.render.bound),
+            compute_dtype=dtype,
+        )
+        self.sigma_net = MLP(
+            dim_out=1 + c.geo_feat_dim, dim_hidden=c.hidden_dim,
+            num_layers=c.num_layers, compute_dtype=dtype, name="sigma_net",
+        )
+        self.encoder_dir, _ = get_encoder(c.encoding_dir, degree=c.sh_degree)
+        self.color_net = MLP(
+            dim_out=3, dim_hidden=c.hidden_dim_color,
+            num_layers=c.num_layers_color, compute_dtype=dtype, name="color_net",
+        )
+
+    def _scale_to_unit(self, x):
+        b = self.render.bound
+        return (x + b) / (2 * b)
+
+    def ambient(self, t):
+        enc_t = freq_encode(jnp.asarray([[t]], jnp.float32), self.time_multires)
+        a = self.ambient_net(enc_t).astype(jnp.float32)
+        return jnp.tanh(a)[0] * self.render.bound  # [ambient_dim]
+
+    def density(self, x, t):
+        amb = self.ambient(t)
+        x4 = jnp.concatenate(
+            [x, jnp.broadcast_to(amb, x.shape[:-1] + (self.ambient_dim,))], axis=-1
+        )
+        h = self.encoder(self._scale_to_unit(x4))
+        h = self.sigma_net(h)
+        sigma = trunc_exp(h[..., 0].astype(jnp.float32))
+        return sigma, h[..., 1:], jnp.zeros_like(x)
+
+    def color(self, d, geo_feat):
+        de = self.encoder_dir(d)
+        h = jnp.concatenate([de.astype(geo_feat.dtype), geo_feat], axis=-1)
+        return nn.sigmoid(self.color_net(h).astype(jnp.float32))
+
+    def __call__(self, x, d, t):
+        sigma, geo, dx = self.density(x, t)
+        return sigma, self.color(d, geo), dx
+
+    def full_init(self, x, d, t):
+        return self(x, d, t)
+
+
 class DNeRFBasisNetwork(nn.Module):
     """Temporal-basis variant (dnerf/network_basis.py): spatial heads
     produce per-basis coefficients; scalar outputs are their dot

@@ -179,6 +179,7 @@ def march_rays(
       mask [N, S] (valid samples), nears/fars [N].
     """
     S = max_samples or cfg.max_samples_per_ray
+    S = min(S, cfg.max_steps)  # budget can't exceed the lattice length
     N = rays_o.shape[0]
     aabb = jnp.asarray(cfg.aabb, jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)

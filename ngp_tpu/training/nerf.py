@@ -67,6 +67,11 @@ class NeRFTrainer(Trainer):
         self.criterion = criterion
         self._jit_render_chunk = None
         self.use_grid = False  # switched on by the occupancy-grid subclass
+        # optional jnp image loss for random-pose guidance steps (the
+        # reference's CLIP mode, utils.py:473-488); see
+        # ngp_tpu.training.clip_guidance. Must be jit-traceable.
+        self.guidance_loss = None
+        self._jit_guidance_step = None
         # optional jax.sharding.Mesh for data-parallel training: rays
         # are sharded over the 'data' axis inside the jitted step,
         # params stay replicated (grad all-reduce is inserted by XLA).
@@ -182,6 +187,53 @@ class NeRFTrainer(Trainer):
         TensoRF's L1 factor sparsity)."""
         return 0.0
 
+    # ---- random-pose guidance steps (CLIP mode) ---------------------------
+
+    def guidance_step(self, state, aux, batch, rng):
+        """Train on a random pose with an image-level loss instead of
+        GT pixels (utils.py:473-488: low-res full-frame render +
+        guidance loss, white background, all rays forced)."""
+        pose = batch["pose"]
+        intrinsics = batch["intrinsics"]
+        rH = batch["image_h"].shape[0]  # static via shape
+        rW = batch["image_w"].shape[0]
+        inds = jnp.arange(rH * rW)
+        rays = rays_from_indices(pose, intrinsics, rH, rW, inds)
+
+        def loss_fn(params):
+            out = self.render_batch(
+                params, rays["rays_o"], rays["rays_d"],
+                rng=rng, perturb=True, bg_color=jnp.float32(1.0), aux=aux,
+            )
+            img = out["image"].reshape(1, rH, rW, 3)
+            return self.guidance_loss(img)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = apply_gradients(state, grads, self.tx)
+        return state, aux, {"loss": loss}
+
+    def train_one_epoch(self, loader):
+        """Dispatch guidance batches to the guidance step (separate jit
+        cache); everything else goes through the base implementation."""
+        def wrapped():
+            for batch in loader:
+                if "guidance" in batch:
+                    self.on_step_begin()
+                    self.rng, k = jax.random.split(self.rng)
+                    if self._jit_guidance_step is None:
+                        self._jit_guidance_step = jax.jit(
+                            self.guidance_step, donate_argnums=(0,)
+                        )
+                    batch = {k2: v for k2, v in batch.items() if k2 != "guidance"}
+                    self.state, self.aux, _ = self._jit_guidance_step(
+                        self.state, self.aux, batch, k
+                    )
+                    self.global_step += 1
+                else:
+                    yield batch
+
+        super().train_one_epoch(wrapped())
+
     # ---- eval / inference -------------------------------------------------
 
     def _chunk_renderer(self, chunk: int):
@@ -279,6 +331,55 @@ class NeRFTrainer(Trainer):
 
         arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
         cv2.imwrite(path, cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))
+
+    # ---- GUI-loop API (nerf/utils.py:718-829 parity) ----------------------
+
+    def train_gui(self, train_ds, step: int = 16) -> Dict[str, float]:
+        """Run ``step`` train steps and report loss/time — the trainer
+        half of the reference's GUI loop (utils.py:718-776). Prefer
+        :class:`ngp_tpu.viewer.InteractiveSession` for adaptive budgets."""
+        import time as _time
+
+        self.ensure_initialized()
+        if not hasattr(self, "_gui_iter_factory"):
+            self._gui_iter_factory = self.make_loader(train_ds)
+            self._gui_iter = iter(self._gui_iter_factory())
+        t0 = _time.perf_counter()
+        metrics = None
+        for _ in range(step):
+            try:
+                batch = next(self._gui_iter)
+            except StopIteration:
+                self._gui_iter = iter(self._gui_iter_factory())
+                batch = next(self._gui_iter)
+            self.on_step_begin()
+            self.rng, k = jax.random.split(self.rng)
+            self.state, self.aux, metrics = self._jit_train_step(
+                self.state, self.aux, batch, k
+            )
+            self.global_step += 1
+        jax.block_until_ready(metrics)
+        return {
+            "loss": float(metrics["loss"]),
+            "lr": float(self.schedule(self.global_step)),
+            "time": _time.perf_counter() - t0,
+        }
+
+    def test_gui(
+        self, pose, intrinsics, W: int, H: int, bg_color=None, spp: int = 1,
+        downscale: float = 1.0,
+    ) -> Dict[str, np.ndarray]:
+        """Render one view with optional downscale, upsampled back to
+        (H, W) — the render half of the GUI loop (utils.py:780-829)."""
+        rH, rW = int(H * downscale), int(W * downscale)
+        intr = np.asarray(intrinsics, np.float32) * downscale
+        image, depth = self.render_frame(pose, intr, rH, rW)
+        if downscale != 1.0:
+            import cv2
+
+            image = cv2.resize(image, (W, H), interpolation=cv2.INTER_NEAREST)
+            depth = cv2.resize(depth, (W, H), interpolation=cv2.INTER_NEAREST)
+        return {"image": image, "depth": depth}
 
     # ---- mesh export ------------------------------------------------------
 

@@ -108,6 +108,29 @@ class Trainer:
         """Hook called before every train step (host-side; used by the
         occupancy-grid trainer for periodic density-grid refresh)."""
 
+    # ---- profiling -------------------------------------------------------
+
+    def profile_steps(self, loader, n_steps: int = 20, logdir: Optional[str] = None):
+        """Capture a jax.profiler trace of n_steps train steps
+        (TPU-native replacement for the reference's ad-hoc
+        torch.cuda.Event timing, SURVEY.md §5). View with
+        tensorboard --logdir <workspace>/profile."""
+        import jax.profiler
+
+        self.ensure_initialized()
+        logdir = logdir or os.path.join(self.workspace, "profile")
+        it = iter(loader)
+        with jax.profiler.trace(logdir):
+            for _ in range(n_steps):
+                batch = next(it)
+                self.rng, k = jax.random.split(self.rng)
+                self.state, self.aux, metrics = self._jit_train_step(
+                    self.state, self.aux, batch, k
+                )
+            jax.block_until_ready(metrics)
+        self.log(f"profile trace written to {logdir}")
+        return logdir
+
     # ---- logging ---------------------------------------------------------
 
     def log(self, msg: str):

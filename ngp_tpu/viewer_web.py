@@ -1,0 +1,125 @@
+"""Zero-dependency browser viewer for remote TPU hosts.
+
+Serves a single HTML page with mouse orbit/zoom/pan controls; the page
+polls ``/frame`` for JPEG renders and ``/stats`` for training status.
+This is the headless-TPU replacement for the reference's DearPyGui
+window (nerf/gui.py) — same capabilities (live training toggle, FoV,
+dynamic resolution, SPP accumulation) over plain HTTP.
+
+Usage:
+    from ngp_tpu.viewer import InteractiveSession, OrbitCamera
+    from ngp_tpu.viewer_web import serve
+    serve(InteractiveSession(trainer, train_ds), W=800, H=800, port=7860)
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_PAGE = """<!doctype html>
+<html><head><title>ngp_tpu viewer</title><style>
+body{margin:0;background:#111;color:#ddd;font-family:monospace}
+#hud{position:fixed;top:8px;left:8px;background:#0008;padding:6px}
+img{display:block;margin:auto;cursor:grab}
+</style></head><body>
+<div id="hud">loading…</div><img id="view" width="__W__" height="__H__">
+<script>
+let drag=false,btn=0,lx=0,ly=0;
+const img=document.getElementById('view');
+img.onmousedown=e=>{drag=true;btn=e.button;lx=e.clientX;ly=e.clientY;e.preventDefault()};
+window.onmouseup=()=>drag=false;
+window.onmousemove=e=>{if(!drag)return;
+ fetch(`/ctl?op=${btn===0?'orbit':'pan'}&dx=${e.clientX-lx}&dy=${e.clientY-ly}`);
+ lx=e.clientX;ly=e.clientY};
+img.oncontextmenu=e=>e.preventDefault();
+img.onwheel=e=>{fetch(`/ctl?op=scale&dx=${e.deltaY>0?-1:1}`);e.preventDefault()};
+async function loop(){
+ while(true){
+  const r=await fetch('/frame');const b=await r.blob();
+  img.src=URL.createObjectURL(b);
+  const s=await (await fetch('/stats')).json();
+  document.getElementById('hud').textContent=
+   `step ${s.step}  loss ${s.loss?.toFixed?.(5)??'-'}  ${s.train_ms?.toFixed?.(0)??0}ms/train  spp ${s.spp}  ds ${s.downscale.toFixed(2)}`;
+ }
+}
+loop();
+</script></body></html>"""
+
+
+def serve(session, W: int = 800, H: int = 800, port: int = 7860, train: bool = True):
+    """Blocking server loop: interleaves training and rendering on the
+    main thread (the TPU is single-client), serves frames to browsers."""
+    import cv2
+
+    from ngp_tpu.viewer import OrbitCamera
+
+    camera = OrbitCamera(W, H, r=2.0)
+    state = {"frame": None, "stats": {}, "lock": threading.Lock()}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/" or self.path.startswith("/index"):
+                body = _PAGE.replace("__W__", str(W)).replace("__H__", str(H)).encode()
+                self._respond(200, "text/html", body)
+            elif self.path.startswith("/frame"):
+                with state["lock"]:
+                    frame = state["frame"]
+                if frame is None:
+                    frame = np.zeros((H, W, 3), np.uint8)
+                ok, buf = cv2.imencode(".jpg", frame[..., ::-1])
+                self._respond(200, "image/jpeg", buf.tobytes())
+            elif self.path.startswith("/stats"):
+                with state["lock"]:
+                    body = json.dumps(state["stats"]).encode()
+                self._respond(200, "application/json", body)
+            elif self.path.startswith("/ctl"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                op = q.get("op", [""])[0]
+                dx = float(q.get("dx", [0])[0])
+                dy = float(q.get("dy", [0])[0])
+                if op == "orbit":
+                    camera.orbit(dx, dy)
+                elif op == "pan":
+                    camera.pan(dx, dy)
+                elif op == "scale":
+                    camera.scale(dx)
+                self._respond(200, "text/plain", b"ok")
+            else:
+                self._respond(404, "text/plain", b"not found")
+
+        def _respond(self, code, ctype, body):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    print(f"[viewer] http://localhost:{port}", flush=True)
+
+    try:
+        while True:
+            stats = {}
+            if train and session.training:
+                m = session.train_steps()
+                stats.update(step=session.trainer.global_step, loss=m["loss"], train_ms=m["ms"])
+            else:
+                stats.update(step=session.trainer.global_step)
+            img = session.render_view(camera)
+            frame = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            stats.update(spp=session.spp, downscale=session.downscale)
+            with state["lock"]:
+                state["frame"] = frame
+                state["stats"] = stats
+    except KeyboardInterrupt:
+        server.shutdown()

@@ -92,3 +92,20 @@ def test_dnerf_trainer_e2e(tmp_path):
     after = trainer.evaluate(train_ds, max_frames=1)["psnr"]
     print(f"dnerf PSNR: {before:.2f} -> {after:.2f}")
     assert after > before + 4.0
+
+
+def test_dnerf_hyper_network_shapes():
+    from ngp_tpu.models.dnerf import DNeRFHyperNetwork
+
+    net_cfg, render_cfg = _cfgs()
+    model = DNeRFHyperNetwork(
+        cfg=net_cfg, render=render_cfg, num_layers_ambient=2,
+        hidden_dim_ambient=32, ambient_dim=1,
+    )
+    x = jnp.zeros((8, 3))
+    d = jnp.concatenate([jnp.ones((8, 1)), jnp.zeros((8, 2))], -1)
+    params = model.init(jax.random.PRNGKey(0), x, d, 0.5, method=DNeRFHyperNetwork.full_init)
+    sigma, rgb, _ = model.apply(params, x, d, 0.2)
+    assert sigma.shape == (8,) and rgb.shape == (8, 3)
+    s2, _, _ = model.apply(params, x, d, 0.8)
+    assert np.abs(np.asarray(sigma) - np.asarray(s2)).max() > 0

@@ -1,0 +1,61 @@
+"""Viewer tests: orbit camera math and the interactive session's
+adaptive train/render loop (headless, CPU)."""
+
+import numpy as np
+
+from ngp_tpu.viewer import InteractiveSession, OrbitCamera
+
+
+def test_orbit_camera_pose_orthonormal():
+    cam = OrbitCamera(64, 64, r=2.0, fovy=50)
+    p0 = cam.pose
+    # camera starts at distance r looking at the center
+    np.testing.assert_allclose(np.linalg.norm(p0[:3, 3]), 2.0, rtol=1e-5)
+    cam.orbit(40, -25)
+    cam.scale(1)
+    cam.pan(5, -3)
+    p = cam.pose
+    R = p[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    # radius shrank by one zoom step
+    np.testing.assert_allclose(
+        np.linalg.norm(p[:3, 3] - cam.center), 2.0 / 1.1, rtol=1e-5
+    )
+    intr = cam.intrinsics
+    assert intr.shape == (4,) and intr[0] > 0
+
+
+def test_interactive_session_train_render(tmp_path):
+    from ngp_tpu.config import NetworkConfig, RenderConfig, TrainConfig
+    from ngp_tpu.data.nerf_dataset import NeRFDataset
+    from ngp_tpu.data.synthetic import make_synthetic_dataset
+    from ngp_tpu.models.nerf import NeRFNetwork
+    from ngp_tpu.training.nerf_grid import GridNeRFTrainer
+
+    root = str(tmp_path / "synth")
+    make_synthetic_dataset(root, n_train=3, n_val=1, n_test=1, H=40, W=40, num_steps=128)
+    ds = NeRFDataset(root, split="train", scale=0.8)
+    render_cfg = RenderConfig(
+        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=64,
+        max_samples_per_ray=32, grid_size=16, density_thresh=10.0,
+    )
+    net_cfg = NetworkConfig(num_levels=4, log2_hashmap_size=12, use_bf16=False)
+    train_cfg = TrainConfig(iters=100, num_rays=256, workspace=str(tmp_path / "ws"))
+    model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
+    trainer = GridNeRFTrainer(model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False)
+
+    sess = InteractiveSession(trainer, ds, train_budget_ms=200, render_budget_ms=100)
+    m = sess.train_steps()
+    assert "loss" in m and np.isfinite(m["loss"])
+    step0 = trainer.global_step
+    assert step0 > 0
+
+    cam = OrbitCamera(32, 32, r=2.0)
+    img1 = sess.render_view(cam)
+    assert img1.shape == (32, 32, 3)
+    assert sess.spp == 1
+    img2 = sess.render_view(cam)  # same pose -> accumulates
+    assert sess.spp == 2
+    cam.orbit(30, 0)
+    sess.render_view(cam)  # new pose -> reset
+    assert sess.spp == 1
