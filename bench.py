@@ -40,13 +40,19 @@ def main():
     make_synthetic_dataset(cache, n_train=16, n_val=1, n_test=1, H=400, W=400)
     train_ds = NeRFDataset(cache, split="train", scale=0.8)
 
+    # the TPU preset (main_nerf.py --preset tpu): brick-halo encoding
+    # (one gather per point-level — XLA gathers are row-count-bound on
+    # TPU, see README), 8 levels x 4 channels, 32-sample budget
     render_cfg = RenderConfig(
-        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=1024,
-        max_samples_per_ray=128, grid_size=128, density_thresh=10.0,
+        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=256,
+        max_samples_per_ray=32, grid_size=128, density_thresh=10.0,
     )
-    net_cfg = NetworkConfig(use_bf16=True)
+    net_cfg = NetworkConfig(
+        encoding="brickgrid", num_levels=8, level_dim=4,
+        log2_hashmap_size=15, use_bf16=True,
+    )
     train_cfg = TrainConfig(
-        iters=30000, lr=1e-2, num_rays=4096, workspace="/tmp/bench_ws",
+        iters=30000, lr=1e-2, num_rays=16384, workspace="/tmp/bench_ws",
         update_extra_interval=16,
     )
     model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
@@ -89,7 +95,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "lego-like synthetic NeRF -O train throughput (4096 rays/step)",
+                "metric": "lego-like synthetic NeRF -O train throughput (TPU preset, 16384 rays/step)",
                 "value": round(rays_per_sec),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),

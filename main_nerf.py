@@ -51,6 +51,18 @@ def build_parser():
     parser.add_argument("--error_map", action="store_true")
     parser.add_argument("--rand_pose", type=int, default=-1)
     parser.add_argument("--synthetic", action="store_true", help="generate the procedural test scene at <path> if missing")
+    parser.add_argument(
+        "--encoding", type=str, default="hashgrid",
+        choices=["hashgrid", "tiledgrid", "brickgrid", "frequency"],
+        help="spatial encoding; 'brickgrid' is the TPU fast path "
+             "(one gather per point-level; ~6x faster steps than hashgrid)",
+    )
+    parser.add_argument("--num_levels", type=int, default=16)
+    parser.add_argument("--level_dim", type=int, default=2)
+    parser.add_argument("--preset", type=str, default="", choices=["", "tpu"],
+                        help="'tpu': brickgrid L8xC4, S=32, K=512 — the bench config")
+    parser.add_argument("--max_samples_per_ray", type=int, default=256,
+                        help="static per-ray sample budget for the TPU marcher")
     parser.add_argument("--downscale", type=int, default=1)
     parser.add_argument("--epochs", type=int, default=0, help="override epoch count (default: iters / frames)")
     parser.add_argument("--save_mesh", action="store_true")
@@ -66,6 +78,14 @@ def main():
     if opt.patch_size > 1:
         opt.error_map = False
         assert opt.num_rays % (opt.patch_size**2) == 0
+    if opt.preset == "tpu":
+        opt.fp16 = True
+        opt.cuda_ray = True
+        opt.encoding = "brickgrid"
+        opt.num_levels = 8
+        opt.level_dim = 4
+        opt.max_steps = min(opt.max_steps, 256)
+        opt.max_samples_per_ray = 32
 
     from ngp_tpu.config import NetworkConfig, RenderConfig, TrainConfig
     from ngp_tpu.data.nerf_dataset import NeRFDataset
@@ -85,8 +105,14 @@ def main():
         upsample_steps=opt.upsample_steps,
         dt_gamma=opt.dt_gamma,
         max_steps=opt.max_steps,
+        max_samples_per_ray=min(opt.max_samples_per_ray, opt.max_steps),
     )
-    net_cfg = NetworkConfig(use_bf16=opt.fp16)
+    net_cfg = NetworkConfig(
+        encoding=opt.encoding,
+        num_levels=opt.num_levels,
+        level_dim=opt.level_dim,
+        use_bf16=opt.fp16,
+    )
     train_cfg = TrainConfig(
         iters=opt.iters,
         lr=opt.lr,

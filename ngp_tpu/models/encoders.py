@@ -13,6 +13,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ngp_tpu.ops.brickgrid import BrickGridConfig, brick_encode
 from ngp_tpu.ops.freq import freq_encode, freq_encode_dim
 from ngp_tpu.ops.hashgrid import GridConfig, grid_encode
 from ngp_tpu.ops.sh import sh_basis_dim, sh_encode
@@ -56,6 +57,23 @@ class SHEncoder(nn.Module):
         return sh_basis_dim(self.degree)
 
 
+class BrickGridEncoder(nn.Module):
+    """Brick-halo multiresolution grid — the TPU fast path (one gather
+    per point-level; see ngp_tpu.ops.brickgrid)."""
+
+    cfg: BrickGridConfig
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        table = self.param("embeddings", lambda key: self.cfg.init(key))
+        return brick_encode(x, table, self.cfg, compute_dtype=self.compute_dtype)
+
+    @property
+    def output_dim(self):
+        return self.cfg.output_dim
+
+
 class GridEncoder(nn.Module):
     """Multiresolution hash/tiled grid encoder with learned table."""
 
@@ -97,6 +115,16 @@ def get_encoder(
     if encoding == "sphere_harmonics":
         enc = SHEncoder(input_dim=input_dim, degree=degree)
         return enc, enc.output_dim
+    if encoding == "brickgrid":
+        cfg = BrickGridConfig(
+            num_levels=num_levels,
+            level_dim=level_dim,
+            base_resolution=base_resolution,
+            log2_hashmap_size=min(log2_hashmap_size, 16),
+            desired_resolution=desired_resolution,
+        )
+        enc = BrickGridEncoder(cfg=cfg, compute_dtype=compute_dtype)
+        return enc, cfg.output_dim
     if encoding in ("hashgrid", "tiledgrid"):
         cfg = GridConfig(
             input_dim=input_dim,
