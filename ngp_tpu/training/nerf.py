@@ -282,9 +282,15 @@ class NeRFTrainer(Trainer):
         depth = np.concatenate(depths)[:n].reshape(H, W)
         return image, depth
 
-    def evaluate(self, dataset: NeRFDataset, max_frames: Optional[int] = None) -> Dict[str, float]:
-        """PSNR over a split, rendering full frames with EMA weights."""
+    def evaluate(
+        self, dataset: NeRFDataset, max_frames: Optional[int] = None,
+        with_ssim: bool = False,
+    ) -> Dict[str, float]:
+        """PSNR (and optionally SSIM) over a split with EMA weights."""
+        from ngp_tpu.training.metrics import SSIMMeter
+
         meter = PSNRMeter()
+        ssim_meter = SSIMMeter() if with_ssim else None
         n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
         out_dir = os.path.join(self.workspace, "validation")
         os.makedirs(out_dir, exist_ok=True)
@@ -296,11 +302,18 @@ class NeRFTrainer(Trainer):
             if gt.shape[-1] == 4:
                 gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
             meter.update(img, gt)
+            if ssim_meter is not None:
+                ssim_meter.update(img, gt)
             self._save_image(os.path.join(out_dir, f"{self.name}_{self.epoch:04d}_{i:04d}.png"), img)
         result = {"psnr": meter.measure()}
-        self.log(f"evaluate: {meter.report()} over {n} frames")
+        report = meter.report()
+        if ssim_meter is not None:
+            result["ssim"] = ssim_meter.measure()
+            report += ", " + ssim_meter.report()
+        self.log(f"evaluate: {report} over {n} frames")
         if self.writer is not None:
-            self.writer.add_scalar("eval/psnr", result["psnr"], self.global_step)
+            for k, v in result.items():
+                self.writer.add_scalar(f"eval/{k}", v, self.global_step)
         return result
 
     def test(self, dataset: NeRFDataset, write_video: bool = True) -> str:

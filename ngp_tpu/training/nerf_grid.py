@@ -77,6 +77,12 @@ class GridNeRFTrainer(NeRFTrainer):
         if self.global_step % self.train_cfg.update_extra_interval == 0:
             self._update_occupancy()
 
+    def reset_extra_state(self):
+        """Zero the density grid and counters (renderer.py:113-123)."""
+        self.ensure_initialized()
+        self.aux = dict(self.aux)
+        self.aux["occ"] = init_occupancy(self.render_cfg)
+
     def mark_untrained(self, poses, intrinsics, H_img: int, W_img: int):
         """Call once before training (trainer.train hook in the
         reference, nerf/utils.py:639-640)."""

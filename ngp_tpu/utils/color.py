@@ -1,0 +1,15 @@
+"""Color-space conversions (reference nerf/utils.py:44-51)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def linear_to_srgb(x: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.where(x < 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)
+
+
+def srgb_to_linear(x: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.where(x < 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
