@@ -154,18 +154,26 @@ def brick_encode(
     C = cfg.level_dim
     oob = jnp.any((xf < 0.0) | (xf > 1.0), axis=-1)
 
-    outs = []
+    # compute per-level indices first, then gather ALL levels in one
+    # take: autodiff then emits a single scatter-add (one grad-buffer
+    # init + one scatter op instead of L of each)
+    idx_levels, f_levels, lo_levels = [], [], []
     for level in range(cfg.num_levels):
         scale = cfg.level_scale(level)
         pos = xf * scale + 0.5
         x0 = jnp.floor(pos).astype(jnp.int32)
-        f = (pos - x0).astype(tab.dtype)
-        b = x0 >> 1  # brick coord
-        lo = x0 & 1  # cell offset within brick, in {0, 1}^3
+        f_levels.append((pos - x0).astype(tab.dtype))
+        lo_levels.append(x0 & 1)
+        idx_levels.append(_brick_index(cfg, level, x0 >> 1) + cfg.offsets[level])
+    all_idx = jnp.stack(idx_levels, axis=1)  # [N, L]
+    all_rows = jnp.take(tab, all_idx.reshape(-1), axis=0)  # [N*L, 27C]
+    all_rows = all_rows.reshape(-1, cfg.num_levels, 27 * C)
 
-        idx = _brick_index(cfg, level, b) + cfg.offsets[level]
-        rows = jnp.take(tab, idx, axis=0)  # [N, 27*C] — THE one gather
-        halo = rows.reshape(-1, 3, 3, 3, C)
+    outs = []
+    for level in range(cfg.num_levels):
+        f = f_levels[level]
+        lo = lo_levels[level]
+        halo = all_rows[:, level].reshape(-1, 3, 3, 3, C)
 
         # select the 2x2x2 stencil at offset lo from the 3x3x3 halo:
         # static 2-way masked blend per axis (VPU, no gather)
