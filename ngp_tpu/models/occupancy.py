@@ -170,9 +170,14 @@ def march_rays(
     rng: Optional[jax.Array] = None,
     perturb: bool = False,
     max_samples: Optional[int] = None,
+    aabb: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Fixed-shape masked equivalent of march_rays_train
     (raymarching.cu:312-490).
+
+    ``aabb`` optionally overrides the scene box for the ray interval —
+    the inference-crop feature (GUI aabb_infer sliders,
+    nerf/gui.py:316-338; occupancy still uses the full cubic bound).
 
     Returns per-ray compacted samples:
       xyzs [N, S, 3], dirs [N, S, 3], ts [N, S], deltas [N, S],
@@ -181,7 +186,8 @@ def march_rays(
     S = max_samples or cfg.max_samples_per_ray
     S = min(S, cfg.max_steps)  # budget can't exceed the lattice length
     N = rays_o.shape[0]
-    aabb = jnp.asarray(cfg.aabb, jnp.float32)
+    if aabb is None:
+        aabb = jnp.asarray(cfg.aabb, jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
     hit = fars > nears
     fars_c = jnp.where(hit, fars, nears)
@@ -276,10 +282,14 @@ def render_rays_grid(
     bg_color=None,
     bg_fn: Optional[Callable] = None,
     max_samples: Optional[int] = None,
+    aabb: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full accelerated render: march → network → composite
     (run_cuda equivalent, renderer.py:256-321)."""
-    m = march_rays(rays_o, rays_d, state, cfg, rng=rng, perturb=perturb, max_samples=max_samples)
+    m = march_rays(
+        rays_o, rays_d, state, cfg, rng=rng, perturb=perturb,
+        max_samples=max_samples, aabb=aabb,
+    )
     sigmas, geo = density_fn(m["xyzs"])
     rgbs = color_fn(m["dirs"], geo)
     out = composite_rays(

@@ -470,6 +470,8 @@ class NeRFTrainer(Trainer):
         if self.train_cfg.error_map and train_ds.images is not None:
             if "error_map" not in (self.aux or {}):
                 self.enable_error_map(len(train_ds))
+        import time as _time
+
         epoch_iter = self.make_loader(train_ds)
         for epoch in range(self.epoch + 1, max_epochs + 1):
             self.epoch = epoch
@@ -478,7 +480,12 @@ class NeRFTrainer(Trainer):
                 from ngp_tpu.training.state import update_ema
 
                 self.state = update_ema(self.state, self.ema_decay)
-            self.save_checkpoint()
+            if (
+                epoch == max_epochs
+                or _time.time() - self._last_ckpt_time > self.ckpt_min_interval_s
+            ):
+                self.save_checkpoint()
+                self._last_ckpt_time = _time.time()
             if valid_ds is not None and epoch % self.eval_interval == 0:
                 res = self.evaluate(valid_ds)
                 metric = -res["psnr"]

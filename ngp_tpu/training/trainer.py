@@ -59,6 +59,11 @@ class Trainer:
         self.epoch = 0
         self.global_step = 0
         self.stats = {"loss": [], "valid_loss": [], "best_loss": None}
+        # serializing a full state pytree costs seconds; with short
+        # epochs a per-epoch save (the reference's cadence) dominates
+        # wall time, so throttle to at most one save per interval
+        self.ckpt_min_interval_s = 120.0
+        self._last_ckpt_time = 0.0
 
         os.makedirs(workspace, exist_ok=True)
         self.log_path = os.path.join(workspace, f"log_{name}.txt")
@@ -162,7 +167,12 @@ class Trainer:
             self.train_one_epoch(train_loader)
             if self.ema_decay is not None:
                 self.state = update_ema(self.state, self.ema_decay)
-            self.save_checkpoint()
+            if (
+                epoch == max_epochs
+                or time.time() - self._last_ckpt_time > self.ckpt_min_interval_s
+            ):
+                self.save_checkpoint()
+                self._last_ckpt_time = time.time()
             if valid_loader is not None and epoch % self.eval_interval == 0:
                 loss = self.evaluate_one_epoch(valid_loader)
                 if self.stats["best_loss"] is None or loss < self.stats["best_loss"]:
