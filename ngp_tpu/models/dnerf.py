@@ -19,7 +19,7 @@ TPU-native equivalent of the reference ``dnerf/`` family:
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ from ngp_tpu.config import NetworkConfig, RenderConfig
 from ngp_tpu.models.encoders import get_encoder
 from ngp_tpu.models.mlp import MLP
 from ngp_tpu.ops.activation import trunc_exp
-from ngp_tpu.ops.freq import freq_encode, freq_encode_dim
+from ngp_tpu.ops.freq import freq_encode
 
 
 class DNeRFNetwork(nn.Module):

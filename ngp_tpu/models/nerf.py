@@ -17,8 +17,6 @@ Differences by design (TPU-first):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

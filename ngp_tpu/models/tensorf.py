@@ -23,7 +23,7 @@ shrinking changes no jit signatures except the param shapes.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

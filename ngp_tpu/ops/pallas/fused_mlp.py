@@ -21,12 +21,12 @@ zero-padded to 128 lanes internally; batch padded to the tile size.
 
 from __future__ import annotations
 
-import functools
-from typing import Sequence, Tuple
+
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

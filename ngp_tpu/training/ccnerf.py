@@ -10,7 +10,7 @@ model. Compositing over K is a vmap over the shared march samples.
 
 from __future__ import annotations
 
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

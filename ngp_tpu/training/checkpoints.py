@@ -19,7 +19,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import flax.serialization
 import jax
-import numpy as np
+
 
 
 def save_checkpoint(

@@ -26,7 +26,7 @@ from ngp_tpu.models.occupancy import (
     march_rays,
     update_occupancy,
 )
-from ngp_tpu.ops.rays import sph_from_ray
+
 from ngp_tpu.training.nerf_grid import GridNeRFTrainer
 from ngp_tpu.training.state import apply_gradients, create_train_state
 

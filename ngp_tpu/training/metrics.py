@@ -15,7 +15,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 
 def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

@@ -22,18 +22,17 @@ TPU-first design notes:
 from __future__ import annotations
 
 import os
-from functools import partial
+
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ngp_tpu.config import NetworkConfig, RenderConfig, TrainConfig
+from ngp_tpu.config import RenderConfig, TrainConfig
 from ngp_tpu.data.nerf_dataset import NeRFDataset
 from ngp_tpu.data.raysampler import (
     ERROR_MAP_SIZE,
-    full_frame_rays,
     rays_from_indices,
     sample_ray_indices,
 )

@@ -15,7 +15,6 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ngp_tpu.models.nerf import NeRFNetwork
 from ngp_tpu.models.occupancy import (
     OccupancyState,
     init_occupancy,

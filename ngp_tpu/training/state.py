@@ -9,7 +9,7 @@ nerf/utils.py:388-391).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.struct
 import jax

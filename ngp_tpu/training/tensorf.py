@@ -16,7 +16,7 @@ they stay aligned.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,7 @@ import numpy as np
 import optax
 
 from ngp_tpu.config import RenderConfig, TrainConfig
-from ngp_tpu.models.occupancy import render_rays_grid
+
 from ngp_tpu.models.tensorf import (
     TensoRFCPNetwork,
     TensoRFNetwork,

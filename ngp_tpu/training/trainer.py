@@ -23,10 +23,9 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Iterable, Optional
 
 import jax
-import numpy as np
 import optax
 
 from ngp_tpu.training import checkpoints as ckpt_lib
