@@ -257,23 +257,23 @@ class DNeRFTrainer(GridNeRFTrainer):
             rd = np.concatenate([rd, np.tile(rd[-1:], (pad, 1))])
         if self._jit_render_chunk is None:
             @jax.jit
-            def render_chunk(params, aux, ro, rd, time):
-                out = self.render_batch(
-                    params, ro, rd, bg_color=jnp.float32(1.0), aux=aux, time=time
-                )
-                return out["image"], out["depth"]
+            def render_frame_fn(params, aux, ro_chunks, rd_chunks, time):
+                def one(args):
+                    ro, rd = args
+                    out = self.render_batch(
+                        params, ro, rd, bg_color=jnp.float32(1.0), aux=aux, time=time
+                    )
+                    return out["image"], out["depth"]
 
-            self._jit_render_chunk = render_chunk
-        imgs, deps = [], []
-        for i in range(0, len(ro), chunk):
-            img, dep = self._jit_render_chunk(
-                params, self.aux, jnp.asarray(ro[i : i + chunk]),
-                jnp.asarray(rd[i : i + chunk]), jnp.float32(time),
-            )
-            imgs.append(np.asarray(img))
-            deps.append(np.asarray(dep))
-        image = np.concatenate(imgs)[:n].reshape(H, W, 3)
-        depth = np.concatenate(deps)[:n].reshape(H, W)
+                return jax.lax.map(one, (ro_chunks, rd_chunks))
+
+            self._jit_render_chunk = render_frame_fn
+        img, dep = self._jit_render_chunk(
+            params, self.aux, jnp.asarray(ro.reshape(-1, chunk, 3)),
+            jnp.asarray(rd.reshape(-1, chunk, 3)), jnp.float32(time),
+        )
+        image = np.asarray(img).reshape(-1, 3)[:n].reshape(H, W, 3)
+        depth = np.asarray(dep).reshape(-1)[:n].reshape(H, W)
         return image, depth
 
     def evaluate(self, dataset, max_frames=None):

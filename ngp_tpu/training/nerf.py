@@ -236,15 +236,23 @@ class NeRFTrainer(Trainer):
     # ---- eval / inference -------------------------------------------------
 
     def _chunk_renderer(self, chunk: int):
+        """Whole-frame renderer: lax.map over ray chunks INSIDE one jit
+        call (a host-side chunk loop pays a tunnel round-trip per chunk
+        on remote TPUs — ~1 s each; one dispatch renders the frame with
+        peak memory of a single chunk)."""
         if self._jit_render_chunk is None:
             @jax.jit
-            def render_chunk(params, aux, ro, rd):
-                out = self.render_batch(
-                    params, ro, rd, bg_color=jnp.float32(1.0), aux=aux
-                )
-                return out["image"], out["depth"]
+            def render_frame_fn(params, aux, ro_chunks, rd_chunks):
+                def one(args):
+                    ro, rd = args
+                    out = self.render_batch(
+                        params, ro, rd, bg_color=jnp.float32(1.0), aux=aux
+                    )
+                    return out["image"], out["depth"]
 
-            self._jit_render_chunk = render_chunk
+                return jax.lax.map(one, (ro_chunks, rd_chunks))
+
+            self._jit_render_chunk = render_frame_fn
         return self._jit_render_chunk
 
     def eval_params(self):
@@ -272,13 +280,11 @@ class NeRFTrainer(Trainer):
             ro = np.concatenate([ro, np.tile(ro[-1:], (pad, 1))])
             rd = np.concatenate([rd, np.tile(rd[-1:], (pad, 1))])
         render = self._chunk_renderer(chunk)
-        imgs, depths = [], []
-        for i in range(0, len(ro), chunk):
-            img, dep = render(params, self.aux, jnp.asarray(ro[i : i + chunk]), jnp.asarray(rd[i : i + chunk]))
-            imgs.append(np.asarray(img))
-            depths.append(np.asarray(dep))
-        image = np.concatenate(imgs)[:n].reshape(H, W, 3)
-        depth = np.concatenate(depths)[:n].reshape(H, W)
+        ro_c = jnp.asarray(ro.reshape(-1, chunk, 3))
+        rd_c = jnp.asarray(rd.reshape(-1, chunk, 3))
+        img, dep = render(params, self.aux, ro_c, rd_c)
+        image = np.asarray(img).reshape(-1, 3)[:n].reshape(H, W, 3)
+        depth = np.asarray(dep).reshape(-1)[:n].reshape(H, W)
         return image, depth
 
     def evaluate(
@@ -440,15 +446,35 @@ class NeRFTrainer(Trainer):
         poses = jnp.asarray(dataset.poses)
         intrinsics = jnp.asarray(dataset.intrinsics)
         np_rng = np.random.default_rng(self.train_cfg.seed)
+        n_frames = len(dataset)
 
         def epoch_iter():
             for idx in dataset.epoch_indices(np_rng, self.train_cfg.rand_pose):
-                yield {
-                    "images": images,
-                    "poses": poses,
-                    "intrinsics": intrinsics,
-                    "idx": jnp.int32(idx),
-                }
+                if idx >= n_frames:
+                    # virtual index -> random-pose guidance step
+                    # (provider.py:279-296: low-res full frame + image loss)
+                    if self.guidance_loss is None:
+                        continue  # no guidance configured: skip
+                    from ngp_tpu.data.nerf_dataset import rand_poses
+
+                    pose = rand_poses(np_rng, 1, radius=dataset.radius)[0]
+                    s = float(np.sqrt(dataset.H * dataset.W / self.train_cfg.num_rays))
+                    rH = max(int(dataset.H / s), 8)
+                    rW = max(int(dataset.W / s), 8)
+                    yield {
+                        "guidance": True,
+                        "pose": jnp.asarray(pose),
+                        "intrinsics": intrinsics / s,
+                        "image_h": jnp.zeros((rH,)),  # static dims via shape
+                        "image_w": jnp.zeros((rW,)),
+                    }
+                else:
+                    yield {
+                        "images": images,
+                        "poses": poses,
+                        "intrinsics": intrinsics,
+                        "idx": jnp.int32(idx),
+                    }
 
         return epoch_iter
 
