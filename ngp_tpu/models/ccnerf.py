@@ -190,7 +190,9 @@ class CCNeRF:
 
         residual → (sigma [K, N], rgb [K, N, 3]); else ([N], [N, 3])."""
         if self.objects is not None:
-            return self._compose_forward(x, d)
+            shape = x.shape[:-1]
+            sigma, rgb = self._compose_forward(x.reshape(-1, 3), d.reshape(-1, 3))
+            return sigma.reshape(shape), rgb.reshape(*shape, 3)
         K = self.cfg.K if K <= 0 else K
         p = self._with_slots(params)
         xn = self.normalize(x, self.aabb)
@@ -209,8 +211,8 @@ class CCNeRF:
 
     def density(self, params, x):
         if self.objects is not None:
-            sigma, _ = self._compose_forward(x, None)
-            return sigma, x
+            sigma, _ = self._compose_forward(x.reshape(-1, 3), None)
+            return sigma.reshape(x.shape[:-1]), x
         p = self._with_slots(params)
         xn = self.normalize(x.reshape(-1, 3), self.aabb)
         fd = _features(p["vec_density"], p["mat_density"], xn, self.cfg.K, False)

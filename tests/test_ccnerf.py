@@ -107,3 +107,18 @@ def test_ccnerf_trainer_e2e(tmp_path):
     after = trainer.evaluate(val_ds, max_frames=1)["psnr"]
     print(f"ccnerf PSNR: {before:.2f} -> {after:.2f}")
     assert after > before + 3.0
+
+
+def test_compose_batched_sample_shapes():
+    """Composed scenes must accept [rays, samples, 3] inputs like the
+    march produces (regression: unflattened compose broke matmuls)."""
+    cfg = _small_cfg()
+    m1 = CCNeRF(cfg)
+    p1 = init_ccnerf(jax.random.PRNGKey(4), cfg)
+    scene = CCNeRF(cfg).compose([(m1, p1)])
+    x = jnp.zeros((4, 8, 3))
+    d = jnp.broadcast_to(jnp.asarray([1.0, 0, 0]), (4, 8, 3))
+    sigma, rgb = scene.sigma_rgb(None, x, d)
+    assert sigma.shape == (4, 8) and rgb.shape == (4, 8, 3)
+    s2, geo = scene.density(None, x)
+    assert s2.shape == (4, 8) and geo.shape == (4, 8, 3)
