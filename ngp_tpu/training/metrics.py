@@ -31,8 +31,14 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
-    """SSIM over [H, W, C] images (mean over channels and positions)."""
-    k = _gaussian_kernel()[:, :, None, None]  # HWIO
+    """SSIM over [H, W, C] images (mean over channels and positions).
+
+    The window shrinks for images smaller than 11 px (a 'valid' conv
+    would otherwise produce an empty output)."""
+    size = min(11, pred.shape[0], pred.shape[1])
+    if size % 2 == 0:
+        size -= 1
+    k = _gaussian_kernel(size=size, sigma=1.5)[:, :, None, None]  # HWIO
 
     def filt(img):
         # img: [H, W, C] -> depthwise gaussian blur, 'valid' padding
