@@ -8,11 +8,12 @@ in batch tiles, every layer's matmul hitting the MXU back-to-back with
 ReLUs fused in-register — one kernel launch for the whole chain, no HBM
 round-trips for activations.
 
-Honest framing (measured): XLA already fuses small matmul chains well,
-so this kernel is an OPTIONAL backbone for benchmarking (exactly the
-reference's own position on --ff, readme.md:225 "not clearly better").
-It exists for (a) API/feature parity with the ffmlp extension, (b) a
-place to hand-tune once round-2 profiling says the MLP matters.
+Honest framing (measured on v5e, 512k x [32-64-64-16] bf16): this
+kernel runs at 3.26 ms vs 2.17 ms for the plain XLA chain — XLA wins,
+exactly the reference's own position on --ff (readme.md:225 "not
+clearly better"). It exists for (a) API/feature parity with the ffmlp
+extension, (b) a place to hand-tune once round-2 profiling says the
+MLP matters.
 
 Constraints (mirroring ffmlp.py:112-121 in spirit, adapted to MXU
 tiling): hidden dim a multiple of 128 is ideal; input/output dims are

@@ -333,14 +333,29 @@ class NeRFTrainer(Trainer):
             frames.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
             self._save_image(os.path.join(out_dir, f"{self.name}_{i:04d}_rgb.png"), img)
         path = os.path.join(out_dir, f"{self.name}.mp4")
-        if write_video:
+        if write_video and frames:
             try:
                 import imageio
 
                 imageio.mimwrite(path, frames, fps=25, quality=8)
                 self.log(f"wrote video {path}")
-            except Exception as e:  # codec availability varies
-                self.log(f"video export failed ({e}); frames saved as PNG")
+            except Exception:
+                # no ffmpeg backend in this image: cv2's built-in MJPG
+                # encoder needs no external codec
+                try:
+                    import cv2
+
+                    avi = os.path.join(out_dir, f"{self.name}.avi")
+                    h, w = frames[0].shape[:2]
+                    vw = cv2.VideoWriter(
+                        avi, cv2.VideoWriter_fourcc(*"MJPG"), 25, (w, h)
+                    )
+                    for f in frames:
+                        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+                    vw.release()
+                    self.log(f"wrote video {avi} (MJPG fallback)")
+                except Exception as e:
+                    self.log(f"video export failed ({e}); frames saved as PNG")
         return out_dir
 
     @staticmethod

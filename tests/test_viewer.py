@@ -59,3 +59,35 @@ def test_interactive_session_train_render(tmp_path):
     cam.orbit(30, 0)
     sess.render_view(cam)  # new pose -> reset
     assert sess.spp == 1
+
+
+def test_trainer_test_video_export(tmp_path):
+    """trainer.test(): renders a split and writes a video (MJPG AVI
+    fallback when no ffmpeg backend) or PNG frames."""
+    import os
+
+    from ngp_tpu.config import NetworkConfig, RenderConfig, TrainConfig
+    from ngp_tpu.data.nerf_dataset import NeRFDataset
+    from ngp_tpu.data.synthetic import make_synthetic_dataset
+    from ngp_tpu.models.nerf import NeRFNetwork
+    from ngp_tpu.training.nerf_grid import GridNeRFTrainer
+
+    root = str(tmp_path / "synth")
+    make_synthetic_dataset(root, n_train=2, n_val=1, n_test=2, H=32, W=32, num_steps=64)
+    ds = NeRFDataset(root, split="test", scale=0.8)
+    render_cfg = RenderConfig(
+        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=32,
+        max_samples_per_ray=16, grid_size=16, density_thresh=10.0,
+    )
+    net_cfg = NetworkConfig(num_levels=2, log2_hashmap_size=10, use_bf16=False)
+    train_cfg = TrainConfig(iters=10, num_rays=128, workspace=str(tmp_path / "ws"))
+    trainer = GridNeRFTrainer(
+        NeRFNetwork(cfg=net_cfg, render=render_cfg), render_cfg, train_cfg,
+        log_every=10**9, use_tensorboard=False,
+    )
+    trainer.ensure_initialized()
+    out_dir = trainer.test(ds, write_video=True)
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(pngs) == 2
+    videos = [f for f in os.listdir(out_dir) if f.endswith((".mp4", ".avi"))]
+    assert videos, "expected an mp4 or the MJPG AVI fallback"
