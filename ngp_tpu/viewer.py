@@ -108,6 +108,14 @@ class InteractiveSession:
         self._accum: Optional[np.ndarray] = None
         self._accum_pose: Optional[np.ndarray] = None
         self.spp = 0
+        # scene time for dynamic (D-NeRF) trainers; render_frame
+        # receives it when the trainer supports a `time` kwarg
+        self.time = 0.0
+        import inspect
+
+        self._supports_time = "time" in inspect.signature(
+            trainer.render_frame
+        ).parameters
 
     # ---- training ---------------------------------------------------------
 
@@ -155,7 +163,10 @@ class InteractiveSession:
         ds = max(self.downscale, 1.0)
         rH, rW = int(camera.H / ds), int(camera.W / ds)
         intr = camera.intrinsics / ds
-        image, _ = self.trainer.render_frame(camera.pose, intr, rH, rW)
+        if self._supports_time:
+            image, _ = self.trainer.render_frame(camera.pose, intr, rH, rW, time=self.time)
+        else:
+            image, _ = self.trainer.render_frame(camera.pose, intr, rH, rW)
         dt = (time.perf_counter() - t0) * 1000
         # adapt downscale toward the render budget (gui.py:135-140)
         full_ms = dt * ds * ds
@@ -166,7 +177,8 @@ class InteractiveSession:
 
             image = cv2.resize(image, (camera.W, camera.H), interpolation=cv2.INTER_LINEAR)
 
-        pose = camera.pose
+        # accumulation key includes scene time (a scrub must reset SPP)
+        pose = np.concatenate([camera.pose.reshape(-1), [self.time]])
         if (
             spp_accumulate
             and self._accum is not None

@@ -37,6 +37,8 @@ window.onmousemove=e=>{if(!drag)return;
  lx=e.clientX;ly=e.clientY};
 img.oncontextmenu=e=>e.preventDefault();
 img.onwheel=e=>{fetch(`/ctl?op=scale&dx=${e.deltaY>0?-1:1}`);e.preventDefault()};
+document.addEventListener('keydown',e=>{  // time scrub for dynamic scenes
+ if(e.key==='['||e.key===']')fetch(`/ctl?op=time&dx=${e.key===']'?0.05:-0.05}`)});
 async function loop(){
  while(true){
   const r=await fetch('/frame');const b=await r.blob();
@@ -92,6 +94,10 @@ def serve(session, W: int = 800, H: int = 800, port: int = 7860, train: bool = T
                     camera.pan(dx, dy)
                 elif op == "scale":
                     camera.scale(dx)
+                elif op == "time":
+                    # dynamic-scene time scrub ('['/']' keys; D-NeRF
+                    # GUI time slider parity, dnerf/gui.py:287-293)
+                    state["time"] = float(np.clip(state.get("time", 0.0) + dx, 0.0, 1.0))
                 self._respond(200, "text/plain", b"ok")
             else:
                 self._respond(404, "text/plain", b"not found")
@@ -115,6 +121,7 @@ def serve(session, W: int = 800, H: int = 800, port: int = 7860, train: bool = T
                 stats.update(step=session.trainer.global_step, loss=m["loss"], train_ms=m["ms"])
             else:
                 stats.update(step=session.trainer.global_step)
+            session.time = state.get("time", 0.0)
             img = session.render_view(camera)
             frame = (np.clip(img, 0, 1) * 255).astype(np.uint8)
             stats.update(spp=session.spp, downscale=session.downscale)
