@@ -134,6 +134,7 @@ def main():
         from ngp_tpu.training.nerf import NeRFTrainer as TrainerCls
 
     trainer = TrainerCls(model, render_cfg, train_cfg)
+    trainer.max_ray_batch = opt.max_ray_batch
 
     if opt.test:
         trainer.load_checkpoint(

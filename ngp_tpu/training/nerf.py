@@ -66,6 +66,9 @@ class NeRFTrainer(Trainer):
         self.criterion = criterion
         self._jit_render_chunk = None
         self.use_grid = False  # switched on by the occupancy-grid subclass
+        # rays per chunk for staged full-frame rendering (the
+        # reference's --max_ray_batch); 16384 suits v5e VMEM
+        self.max_ray_batch = 16384
         # optional jnp image loss for random-pose guidance steps (the
         # reference's CLIP mode, utils.py:473-488); see
         # ngp_tpu.training.clip_guidance. Must be jit-traceable.
@@ -263,11 +266,12 @@ class NeRFTrainer(Trainer):
         )
 
     def render_frame(
-        self, pose, intrinsics, H: int, W: int, chunk: int = 2**14, params=None
+        self, pose, intrinsics, H: int, W: int, chunk: int = 0, params=None
     ):
         """Full-frame staged rendering (renderer.render staged path,
         nerf/renderer.py:554-565): fixed-size chunks, padded tail."""
         self.ensure_initialized()
+        chunk = chunk or self.max_ray_batch
         params = params if params is not None else self.eval_params()
         from ngp_tpu.data.raysampler import full_frame_rays_np
 
