@@ -30,7 +30,10 @@ class GridNeRFTrainer(NeRFTrainer):
         super().__init__(*args, **kwargs)
         self.use_grid = True
         self._jit_update_occ = None
-        self._eval_max_samples: Optional[int] = None
+        # optional smaller per-ray sample budget for evaluation/test
+        # rendering (trades a little PSNR for frame rate; None = the
+        # training budget)
+        self.eval_max_samples: Optional[int] = None
 
     def init_aux(self) -> Any:
         return {"occ": init_occupancy(self.render_cfg)}
@@ -40,6 +43,9 @@ class GridNeRFTrainer(NeRFTrainer):
     ):
         density_fn, color_fn, bg_fn = self._fns(params)
         occ = aux["occ"] if aux is not None else init_occupancy(self.render_cfg)
+        # eval-budget override only applies outside training steps
+        # (training passes rng+perturb)
+        max_samples = None if perturb else self.eval_max_samples
         return render_rays_grid(
             density_fn,
             color_fn,
@@ -51,6 +57,7 @@ class GridNeRFTrainer(NeRFTrainer):
             perturb=perturb,
             bg_color=bg_color,
             bg_fn=bg_fn,
+            max_samples=max_samples,
         )
 
     # ---- occupancy maintenance -------------------------------------------
