@@ -204,6 +204,41 @@ class TensoRFTrainer(GridNeRFTrainer):
         self._jit_update_occ = None
         self.ensure_initialized()
 
+    # ---- checkpoint resolution handling (tensoRF/utils.py:247, :350) -----
+
+    def _extra_ckpt_metadata(self) -> dict:
+        return {
+            "resolution": [int(r) for r in self.current_resolution],
+            "aabb": [float(v) for v in self.aabb],
+        }
+
+    def load_checkpoint(self, path=None) -> bool:
+        """Peek the stored resolution and resize the live model BEFORE
+        restoring, so factor shapes match (the reference re-upsamples
+        the model prior to load, tensoRF/utils.py:350)."""
+        import json
+        import os
+
+        from ngp_tpu.training import checkpoints as ckpt_lib
+
+        self.ensure_initialized()
+        if path is None:
+            path = ckpt_lib.latest_checkpoint(self.workspace, self.name)
+        if path is None or not os.path.exists(path):
+            self.log("no checkpoint found, training from scratch")
+            return False
+        meta_path = path + ".json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                extras = json.load(f)
+            reso = extras.get("resolution")
+            if reso and tuple(reso) != self.current_resolution:
+                self._upsample(tuple(int(r) for r in reso))
+                self.log(f"resized model to checkpointed resolution {reso}")
+            if extras.get("aabb"):
+                self.aabb = np.asarray(extras["aabb"], np.float32)
+        return super().load_checkpoint(path)
+
     @property
     def current_resolution(self):
         if self.is_cp:

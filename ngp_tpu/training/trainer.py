@@ -234,6 +234,11 @@ class Trainer:
     def _ckpt_pytree(self):
         return {"state": self.state, "aux": self.aux}
 
+    def _extra_ckpt_metadata(self) -> dict:
+        """Workload-specific JSON-able checkpoint metadata (e.g.
+        TensoRF stores its current factor resolution)."""
+        return {}
+
     def save_checkpoint(self, best: bool = False):
         state = self._ckpt_pytree()
         if best and self.state.ema_params is not None:
@@ -249,6 +254,7 @@ class Trainer:
                 "stats": {
                     k: v for k, v in self.stats.items() if not isinstance(v, list)
                 },
+                **self._extra_ckpt_metadata(),
             },
             epoch=self.epoch,
             max_keep=self.max_keep_ckpt,

@@ -120,3 +120,45 @@ def test_tensorf_trainer_e2e_with_upsample(tmp_path):
     print(f"tensoRF PSNR: {before:.2f} -> {after:.2f}, reso {trainer.current_resolution}")
     assert after > before + 4.0
     assert trainer.current_resolution == (48, 48, 48)
+
+
+def test_tensorf_checkpoint_resolution_roundtrip(tmp_path):
+    """Checkpoints store the factor resolution + aabb; a fresh trainer
+    at the base resolution resizes itself before loading
+    (tensoRF/utils.py:247, :350 parity)."""
+    from ngp_tpu.data.nerf_dataset import NeRFDataset
+    from ngp_tpu.data.synthetic import make_synthetic_dataset
+    from ngp_tpu.training.tensorf import TensoRFTrainer
+
+    root = str(tmp_path / "synth")
+    make_synthetic_dataset(root, n_train=3, n_val=1, n_test=1, H=40, W=40, num_steps=96)
+    train_ds = NeRFDataset(root, split="train", scale=0.8)
+
+    render_cfg = RenderConfig(
+        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=64,
+        max_samples_per_ray=32, grid_size=16, density_thresh=10.0,
+    )
+    train_cfg = TrainConfig(iters=60, lr=2e-2, num_rays=256, workspace=str(tmp_path / "ws"))
+
+    def mk():
+        model = TensoRFNetwork(
+            resolution=(16, 16, 16), sigma_rank=(2, 2, 2), color_rank=(4, 4, 4),
+            hidden_dim=32,
+        )
+        return TensoRFTrainer(
+            model, render_cfg, train_cfg, upsample_model_steps=[4],
+            resolution0=16, resolution1=24, log_every=10**9, use_tensorboard=False,
+        )
+
+    t1 = mk()
+    t1.ckpt_min_interval_s = 0.0
+    t1.train_on_dataset(train_ds, valid_ds=None, max_epochs=3)  # crosses the upsample
+    assert t1.current_resolution == (24, 24, 24)
+    r1 = t1.render_frame(train_ds.poses[0], train_ds.intrinsics, 16, 16)[0]
+
+    t2 = mk()
+    assert t2.load_checkpoint()
+    assert t2.current_resolution == (24, 24, 24)
+    np.testing.assert_allclose(t2.aabb, t1.aabb, atol=1e-6)
+    r2 = t2.render_frame(train_ds.poses[0], train_ds.intrinsics, 16, 16)[0]
+    np.testing.assert_allclose(r2, r1, atol=1e-5)
