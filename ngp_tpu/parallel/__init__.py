@@ -10,6 +10,7 @@ automatically when sharded-ray losses meet replicated params — the
 explicit ``dist.all_reduce`` call sites disappear into the compiler.
 """
 
+from ngp_tpu.parallel.collectives import eval_metrics_dp, gather_predictions_dp
 from ngp_tpu.parallel.mesh import (
     data_sharding,
     make_mesh,
@@ -17,4 +18,11 @@ from ngp_tpu.parallel.mesh import (
     shard_pytree,
 )
 
-__all__ = ["make_mesh", "data_sharding", "replicate_sharding", "shard_pytree"]
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicate_sharding",
+    "shard_pytree",
+    "eval_metrics_dp",
+    "gather_predictions_dp",
+]

@@ -98,5 +98,5 @@ class CCNeRFTrainer(GridNeRFTrainer):
             return per_k.mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        state = apply_gradients(state, grads, self.tx)
+        state = apply_gradients(state, grads, self.tx, ema_decay=self.ema_decay)
         return state, aux, {"loss": loss}

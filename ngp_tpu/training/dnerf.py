@@ -162,7 +162,7 @@ class DNeRFTrainer(GridNeRFTrainer):
             return mse + self.deform_reg_weight * reg, mse
 
         (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = apply_gradients(state, grads, self.tx)
+        state = apply_gradients(state, grads, self.tx, ema_decay=self.ema_decay)
         return state, aux, {"loss": mse}
 
     # ---- occupancy maintenance (all slices, frozen after 100) -------------

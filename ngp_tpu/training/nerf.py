@@ -170,7 +170,7 @@ class NeRFTrainer(Trainer):
             return per_ray.mean() + self._loss_extra(params), per_ray
 
         (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = apply_gradients(state, grads, self.tx)
+        state = apply_gradients(state, grads, self.tx, ema_decay=self.ema_decay)
 
         new_aux = aux
         if error_map is not None:
@@ -211,7 +211,7 @@ class NeRFTrainer(Trainer):
             return self.guidance_loss(img)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        state = apply_gradients(state, grads, self.tx)
+        state = apply_gradients(state, grads, self.tx, ema_decay=self.ema_decay)
         return state, aux, {"loss": loss}
 
     def train_one_epoch(self, loader):
@@ -248,6 +248,15 @@ class NeRFTrainer(Trainer):
             def render_frame_fn(params, aux, ro_chunks, rd_chunks):
                 def one(args):
                     ro, rd = args
+                    if self.mesh is not None:
+                        # DP eval: rays sharded over the mesh, params
+                        # replicated (the reference's eval-loop DDP
+                        # equivalent, nerf/utils.py:944-965)
+                        from jax.sharding import NamedSharding, PartitionSpec
+
+                        ns = NamedSharding(self.mesh, PartitionSpec("data"))
+                        ro = jax.lax.with_sharding_constraint(ro, ns)
+                        rd = jax.lax.with_sharding_constraint(rd, ns)
                     out = self.render_batch(
                         params, ro, rd, bg_color=jnp.float32(1.0), aux=aux
                     )
@@ -520,10 +529,7 @@ class NeRFTrainer(Trainer):
         for epoch in range(self.epoch + 1, max_epochs + 1):
             self.epoch = epoch
             self.train_one_epoch(epoch_iter())
-            if self.ema_decay is not None:
-                from ngp_tpu.training.state import update_ema
-
-                self.state = update_ema(self.state, self.ema_decay)
+            # EMA updates happen per-step inside apply_gradients
             if (
                 epoch == max_epochs
                 or _time.time() - self._last_ckpt_time > self.ckpt_min_interval_s

@@ -41,7 +41,7 @@ class SDFTrainer(Trainer):
             return mape_loss(pred, sdfs)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        state = apply_gradients(state, grads, self.tx)
+        state = apply_gradients(state, grads, self.tx, ema_decay=self.ema_decay)
         return state, aux, {"loss": loss}
 
     def eval_step(self, state, aux, batch):

@@ -40,12 +40,28 @@ def create_train_state(
 
 
 def apply_gradients(
-    state: TrainState, grads: Any, tx: optax.GradientTransformation
+    state: TrainState,
+    grads: Any,
+    tx: optax.GradientTransformation,
+    ema_decay: float | None = None,
 ) -> TrainState:
+    """Optimizer update + (optionally) per-STEP EMA shadow update.
+
+    The reference calls ``ema.update()`` every training step
+    (nerf/utils.py:891 via train_one_epoch); folding the decay here
+    keeps that cadence inside the single jitted step. ``ema_decay`` is
+    a static Python float (or None to leave the shadow untouched).
+    """
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
+    ema = state.ema_params
+    if ema_decay is not None and ema is not None:
+        ema = jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, new_params
+        )
     return state.replace(
-        step=state.step + 1, params=new_params, opt_state=new_opt_state
+        step=state.step + 1, params=new_params, opt_state=new_opt_state,
+        ema_params=ema,
     )
 
 

@@ -29,7 +29,7 @@ import jax
 import optax
 
 from ngp_tpu.training import checkpoints as ckpt_lib
-from ngp_tpu.training.state import TrainState, update_ema
+from ngp_tpu.training.state import TrainState
 
 
 class Trainer:
@@ -164,8 +164,7 @@ class Trainer:
         for epoch in range(self.epoch + 1, max_epochs + 1):
             self.epoch = epoch
             self.train_one_epoch(train_loader)
-            if self.ema_decay is not None:
-                self.state = update_ema(self.state, self.ema_decay)
+            # EMA updates happen per-step inside apply_gradients
             if (
                 epoch == max_epochs
                 or time.time() - self._last_ckpt_time > self.ckpt_min_interval_s
