@@ -43,6 +43,26 @@ class RenderConfig:
     # (dnerf/renderer.py:74)
     time_size: int = 64
 
+    # --- turbo march (TPU-native v2 path) --------------------------------
+    # Replaces per-probe occupancy gathers (XLA gathers cost ~15 ns/row
+    # on TPU regardless of width) with a one-hot-matmul coarse test
+    # against a bit-packed 32^3 pooled grid, a per-crossing 64-bit fine
+    # payload gather, and valid-only global sample compaction.
+    turbo: bool = False
+    # per-ray candidate budget after the coarse test (then fine-tested
+    # and compacted to max_samples_per_ray)
+    coarse_candidates: int = 96
+    # per-ray budget of distinct coarse-cell crossings (fine payload
+    # rows gathered per ray); overflow crossings are dropped far-first,
+    # the same budget semantics as the reference's mean_count cap
+    # (raymarching.py:198-203)
+    crossing_slots: int = 16
+    # global compacted-sample budget as a mean samples/ray multiplier:
+    # M = num_rays * compact_mean_samples; whole trailing rays beyond
+    # the budget are dropped (the CUDA marcher does the same when its
+    # point buffer fills, raymarching.cu:405-414)
+    compact_mean_samples: int = 16
+
     @property
     def cascades(self) -> int:
         return 1 + math.ceil(math.log2(max(self.bound, 1.0)))
@@ -73,6 +93,11 @@ class NetworkConfig:
     base_resolution: int = 16
     log2_hashmap_size: int = 19
     sh_degree: int = 4
+    # cpgrid encoder (multiresolution CP factor banks, evaluated by
+    # MXU matmuls — ngp_tpu.ops.pallas.cp_kernels)
+    cp_resolutions: Tuple[int, ...] = (256, 512, 1024, 2048)
+    cp_rank: int = 64
+    cp_freq_degree: int = 5
     # compute precision for MLPs/encoders ("bfloat16" replaces the
     # reference's fp16 AMP + GradScaler; bf16 needs no loss scaling)
     use_bf16: bool = True

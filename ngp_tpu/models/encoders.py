@@ -11,9 +11,11 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ngp_tpu.ops.brickgrid import BrickGridConfig, brick_encode
+from ngp_tpu.ops.cpgrid import CPGridConfig, cpgrid_encode
 from ngp_tpu.ops.freq import freq_encode, freq_encode_dim
 from ngp_tpu.ops.hashgrid import GridConfig, grid_encode
 from ngp_tpu.ops.sh import sh_basis_dim, sh_encode
@@ -74,6 +76,32 @@ class BrickGridEncoder(nn.Module):
         return self.cfg.output_dim
 
 
+class CPGridEncoder(nn.Module):
+    """Multiresolution CP factor banks — the TPU flagship encoder
+    (MXU matmul evaluation, zero random memory access; see
+    ngp_tpu.ops.cpgrid / ops.pallas.cp_kernels)."""
+
+    cfg: CPGridConfig
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        factors = tuple(
+            self.param(
+                f"factors_{r}",
+                lambda key, rr=r: jax.random.normal(
+                    key, (3, rr, self.cfg.rank), jnp.float32
+                ) * self.cfg.init_scale,
+            )
+            for r in self.cfg.resolutions
+        )
+        return cpgrid_encode(x, factors, self.cfg, compute_dtype=self.compute_dtype)
+
+    @property
+    def output_dim(self):
+        return self.cfg.output_dim
+
+
 class GridEncoder(nn.Module):
     """Multiresolution hash/tiled grid encoder with learned table."""
 
@@ -105,6 +133,9 @@ def get_encoder(
     desired_resolution: int = 2048,
     align_corners: bool = False,
     compute_dtype=None,
+    cp_resolutions: Tuple[int, ...] = (256, 512, 1024, 2048),
+    cp_rank: int = 64,
+    cp_freq_degree: int = 5,
 ) -> Tuple[nn.Module, int]:
     """String → (encoder module, output_dim), reference encoding.py:45-77."""
     if encoding is None or encoding == "None":
@@ -115,6 +146,14 @@ def get_encoder(
     if encoding == "sphere_harmonics":
         enc = SHEncoder(input_dim=input_dim, degree=degree)
         return enc, enc.output_dim
+    if encoding == "cpgrid":
+        cfg = CPGridConfig(
+            resolutions=tuple(cp_resolutions),
+            rank=cp_rank,
+            freq_degree=cp_freq_degree,
+        )
+        enc = CPGridEncoder(cfg=cfg, compute_dtype=compute_dtype)
+        return enc, cfg.output_dim
     if encoding == "brickgrid":
         cfg = BrickGridConfig(
             num_levels=num_levels,

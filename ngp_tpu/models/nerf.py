@@ -41,6 +41,9 @@ class NeRFNetwork(nn.Module):
             log2_hashmap_size=c.log2_hashmap_size,
             desired_resolution=int(2048 * self.render.bound),
             compute_dtype=dtype,
+            cp_resolutions=c.cp_resolutions,
+            cp_rank=c.cp_rank,
+            cp_freq_degree=c.cp_freq_degree,
         )
         self.sigma_net = MLP(
             dim_out=1 + c.geo_feat_dim,

@@ -38,6 +38,7 @@ TPU-first redesign (NOT a translation):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Dict, Optional, Tuple
 
@@ -54,22 +55,70 @@ SQRT3 = math.sqrt(3.0)
 
 @flax.struct.dataclass
 class OccupancyState:
-    """Device-side density-grid state (renderer.py:87-101)."""
+    """Device-side density-grid state (renderer.py:87-101).
+
+    ``coarse_payload``/``fine_payload`` are bit-packed views of
+    ``occ_grid`` maintained for the turbo march (march_rays_turbo):
+    - coarse_payload [CAS*Hc, 128] f32: byte values (0-255) of the
+      max-pooled Hc^3 occupancy, consumed by a one-hot MXU matmul.
+    - fine_payload [CAS*Hc^3, 2] u32: per coarse cell, the 64 occupancy
+      bits of its 4^3 fine sub-cells.
+    """
 
     density_grid: jnp.ndarray  # [CAS, H, H, H] f32; -1 = untrained
     occ_grid: jnp.ndarray  # [CAS, H, H, H] bool (thresholded)
     mean_density: jnp.ndarray  # scalar f32
     iter_density: jnp.ndarray  # scalar i32
+    coarse_payload: jnp.ndarray  # [CAS*Hc, 128] f32
+    fine_payload: jnp.ndarray  # [CAS*Hc^3, 2] u32
+
+
+COARSE_FACTOR = 4  # fine cells per coarse cell per axis
+
+
+def pack_occupancy_payloads(occ_grid: jnp.ndarray):
+    """occ_grid [CAS, H, H, H] bool -> (coarse_payload, fine_payload).
+
+    Dense bit-twiddling, no scatter; runs inside the jitted grid
+    refresh (the reference's packbits step, raymarching.cu:268-300,
+    restructured for matmul/crossing lookups instead of byte gathers).
+    """
+    cas, H = occ_grid.shape[0], occ_grid.shape[1]
+    F = COARSE_FACTOR
+    Hc = H // F
+    blocks = occ_grid.reshape(cas, Hc, F, Hc, F, Hc, F)
+    blocks = blocks.transpose(0, 1, 3, 5, 2, 4, 6).reshape(cas * Hc**3, F**3)
+    # fine payload: 64 bits -> 2 u32 words (bit b of word w = sub-cell
+    # 32*w + b in (ox*F + oy)*F + oz order)
+    bits = blocks.astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    w0 = jnp.sum(bits[:, :32] << shifts[None, :], axis=1, dtype=jnp.uint32)
+    w1 = jnp.sum(bits[:, 32:] << shifts[None, :], axis=1, dtype=jnp.uint32)
+    fine_payload = jnp.stack([w0, w1], axis=1)
+    # coarse: any fine bit set; packed 8 cells/byte (z fastest), bytes
+    # laid out [rows, 128] for the one-hot matmul lookup
+    coarse = jnp.any(blocks, axis=1)  # [CAS*Hc^3], z fastest
+    byte_bits = coarse.reshape(-1, 8).astype(jnp.uint32)
+    bytes_ = jnp.sum(byte_bits << shifts[None, :8], axis=1, dtype=jnp.uint32)
+    pad = (-bytes_.shape[0]) % 128
+    if pad:
+        bytes_ = jnp.concatenate([bytes_, jnp.zeros((pad,), jnp.uint32)])
+    coarse_payload = bytes_.astype(jnp.float32).reshape(-1, 128)
+    return coarse_payload, fine_payload
 
 
 def init_occupancy(cfg: RenderConfig) -> OccupancyState:
     H = cfg.grid_size
     cas = cfg.cascades
+    occ = jnp.ones((cas, H, H, H), jnp.bool_)  # start fully occupied
+    coarse_payload, fine_payload = pack_occupancy_payloads(occ)
     return OccupancyState(
         density_grid=jnp.zeros((cas, H, H, H), jnp.float32),
-        occ_grid=jnp.ones((cas, H, H, H), jnp.bool_),  # start fully occupied
+        occ_grid=occ,
         mean_density=jnp.float32(0.0),
         iter_density=jnp.int32(0),
+        coarse_payload=coarse_payload,
+        fine_payload=fine_payload,
     )
 
 
@@ -309,6 +358,321 @@ def render_rays_grid(
 
 
 # ---------------------------------------------------------------------------
+# turbo march (v2): matmul coarse test + crossing payloads + compaction
+# ---------------------------------------------------------------------------
+
+
+def _coarse_lookup(coarse_payload: jnp.ndarray, flatcell: jnp.ndarray) -> jnp.ndarray:
+    """Occupancy bits for flat coarse-cell indices — via a one-hot MXU
+    matmul against the byte-packed pooled grid instead of a gather
+    (measured: 3.3 ms for 4.2 M lookups vs 35 ms for the gather;
+    scripts/microbench_v2.py)."""
+    shape = flatcell.shape
+    fc = flatcell.reshape(-1)
+    byte_idx = fc >> 3
+    bit = fc & 7
+    hi = byte_idx >> 7
+    lo = byte_idx & 127
+    oh = jax.nn.one_hot(hi, coarse_payload.shape[0], dtype=jnp.bfloat16)
+    vals = jnp.dot(oh, coarse_payload.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)  # [P, 128]
+    oh_lo = jax.nn.one_hot(lo, 128, dtype=jnp.float32)
+    byte = jnp.sum(vals * oh_lo, axis=-1).astype(jnp.int32)  # bytes are <= 255
+    return (((byte >> bit) & 1) > 0).reshape(shape)
+
+
+def march_rays_turbo(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    state: OccupancyState,
+    cfg: RenderConfig,
+    rng: Optional[jax.Array] = None,
+    perturb: bool = False,
+    max_samples: Optional[int] = None,
+    aabb: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """TPU-native v2 of march_rays_train (raymarching.cu:312-490).
+
+    Same t-lattice + occupancy semantics as :func:`march_rays`, but the
+    per-probe occupancy test costs no random memory access:
+
+    1. every lattice probe is tested against a 4^3-pooled coarse grid
+       via a one-hot MXU matmul (``_coarse_lookup``);
+    2. survivors are compacted per ray to ``cfg.coarse_candidates``;
+    3. consecutive candidates sharing a coarse cell form a CROSSING;
+       one 64-bit fine-occupancy payload row is gathered per crossing
+       (<= cfg.crossing_slots rows/ray instead of one gather/probe)
+       and each candidate extracts its fine bit in-register;
+    4. fine-valid samples are compacted to the per-ray budget S.
+
+    Crossing overflow (> crossing_slots distinct coarse cells) drops
+    the farthest crossings — the reference's point-budget semantics
+    (raymarching.py:198-203).
+
+    Requires ``dt_gamma == 0`` (uniform dt): sample positions are then
+    pure index arithmetic ``t = t0 + k * dt``, which lets every
+    selection stage carry the lattice index INSIDE the top_k key —
+    measured, a single take_along_axis at these shapes costs ~18 ms on
+    v5e (tile-granularity scalar gathers), so the whole march is built
+    without any dynamic indexing except the one payload-row gather.
+    """
+    if cfg.dt_gamma != 0.0:
+        raise ValueError("march_rays_turbo requires dt_gamma == 0 "
+                         "(use march_rays for adaptive stepping)")
+    S = max_samples or cfg.max_samples_per_ray
+    S = min(S, cfg.max_steps)
+    K = cfg.max_steps
+    K2 = min(cfg.coarse_candidates, K)
+    U = cfg.crossing_slots
+    N = rays_o.shape[0]
+    H = cfg.grid_size
+    cas = cfg.cascades
+    F = COARSE_FACTOR
+    Hc = H // F
+    dt = 2.0 * SQRT3 / cfg.max_steps
+    if aabb is None:
+        aabb = jnp.asarray(cfg.aabb, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+    hit = fars > nears
+    fars_c = jnp.where(hit, fars, nears)
+
+    t0 = nears
+    if perturb and rng is not None:
+        t0 = t0 + dt * jax.random.uniform(rng, (N,))
+
+    def cells_at(ts_):
+        """Fine cell coords + flat coarse id at t values [N, k]."""
+        x = rays_o[:, None, :] + rays_d[:, None, :] * ts_[..., None]
+        x = jnp.clip(x, -cfg.bound, cfg.bound)
+        level = jnp.maximum(
+            mip_from_pos(x, cas),
+            mip_from_dt(jnp.asarray(dt, jnp.float32), H, cas),
+        )
+        mip_bound = jnp.minimum(2.0 ** level.astype(jnp.float32), cfg.bound)
+        n = jnp.clip(
+            (0.5 * (x / mip_bound[..., None] + 1.0) * H).astype(jnp.int32),
+            0, H - 1,
+        )
+        coarse = n // F
+        flat = ((level * Hc + coarse[..., 0]) * Hc + coarse[..., 1]) * Hc + coarse[..., 2]
+        return n, flat
+
+    ks = jnp.arange(K, dtype=jnp.int32)[None, :]
+    ts = t0[:, None] + ks.astype(jnp.float32) * dt  # [N, K]
+    _, flat_c = cells_at(ts)
+    coarse_ok = _coarse_lookup(state.coarse_payload, flat_c)
+    valid_c = coarse_ok & (ts < fars_c[:, None]) & hit[:, None]
+
+    # per-ray compaction of coarse survivors to K2 candidates; the
+    # top_k VALUE carries the lattice index (no position gather)
+    key = jnp.where(valid_c, ks, ks + K)
+    negv, _ = jax.lax.top_k(-key, K2)
+    cand = -negv  # [N, K2] ascending; < K iff a real candidate
+    cmask = cand < K
+    cand_l = jnp.where(cmask, cand, cand - K)
+    ts2 = t0[:, None] + cand_l.astype(jnp.float32) * dt
+    n2, flat2 = cells_at(ts2)
+
+    # crossings: runs of consecutive candidates in the same coarse cell
+    change = jnp.concatenate(
+        [jnp.ones((N, 1), bool), flat2[:, 1:] != flat2[:, :-1]], axis=1
+    ) & cmask
+    slot = jnp.cumsum(change.astype(jnp.int32), axis=1) - 1  # [N, K2]
+    in_budget = slot < U
+    slot_cl = jnp.clip(slot, 0, U - 1)
+    # match on the UNCLAMPED slot: overflow crossings must not alias
+    # into slot U-1 (that would corrupt its payload cell id)
+    oh_first = (slot[:, :, None] == jnp.arange(U)[None, None, :]) & change[:, :, None]
+    slot_cell = jnp.max(
+        jnp.where(oh_first, flat2[:, :, None], -1), axis=1
+    )  # [N, U] first coarse cell per slot (-1 unused)
+    pay = jnp.take(
+        state.fine_payload, jnp.maximum(slot_cell, 0).reshape(-1), axis=0
+    ).reshape(N, U, 2)
+    # split the two u32 payload words into 8 bytes (exact in bf16) and
+    # route them to candidates with a one-hot einsum over slots — a
+    # take_along_axis here costs ~18 ms, the einsum < 1 ms
+    shifts8 = jnp.arange(4, dtype=jnp.uint32) * 8
+    b0 = (pay[..., 0][..., None] >> shifts8[None, None, :]) & 0xFF
+    b1 = (pay[..., 1][..., None] >> shifts8[None, None, :]) & 0xFF
+    pay_bytes = jnp.concatenate([b0, b1], axis=-1).astype(jnp.bfloat16)  # [N, U, 8]
+    oh_slot = jax.nn.one_hot(slot_cl, U, dtype=jnp.bfloat16)  # [N, K2, U]
+    bytes_k = jnp.einsum(
+        "nku,nub->nkb", oh_slot, pay_bytes,
+        preferred_element_type=jnp.float32,
+    )  # [N, K2, 8]
+    off = n2 % F
+    bit6 = (off[..., 0] * F + off[..., 1]) * F + off[..., 2]  # [N, K2] in [0, 64)
+    oh_byte = jax.nn.one_hot(bit6 >> 3, 8, dtype=jnp.float32)
+    byte_val = jnp.sum(bytes_k * oh_byte, axis=-1).astype(jnp.int32)  # [N, K2]
+    fine_ok = ((byte_val >> (bit6 & 7)) & 1) > 0
+    valid_f = fine_ok & cmask & in_budget
+
+    # final per-ray compaction to S samples, again index-carrying keys
+    key2 = jnp.where(valid_f, cand_l, cand_l + K)
+    negv2, _ = jax.lax.top_k(-key2, S)
+    lat = -negv2
+    n_total = jnp.sum(valid_f, axis=-1)
+    mask = jnp.arange(S, dtype=jnp.int32)[None, :] < n_total[:, None]
+    lat_l = jnp.where(mask, lat, 0)
+    ts_c = jnp.where(mask, t0[:, None] + lat_l.astype(jnp.float32) * dt, 0.0)
+    dts_c = jnp.where(mask, dt, 0.0)
+
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts_c[..., None]
+    xyzs = jnp.clip(xyzs, -cfg.bound, cfg.bound)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+    return {
+        "xyzs": xyzs,
+        "dirs": dirs,
+        "ts": ts_c,
+        "deltas": dts_c,
+        "mask": mask,
+        "nears": nears,
+        "fars": fars,
+        "n_total": n_total,
+        "lat": lat_l,  # [N, S] lattice indices (turbo compaction payload)
+        "t0": t0,
+        "dt": jnp.float32(dt),
+    }
+
+
+def compact_valid_samples(mask: jnp.ndarray, budget: int, extra=None):
+    """Squeeze the valid PREFIX samples of [N, S] rays into a global
+    [budget] buffer, ray-major (the TPU replacement for the CUDA
+    atomicAdd point packing, raymarching.cu:405-414).
+
+    Returns (src, valid, offsets[, extra_c]): compact slot m holds
+    march slot src[m] (flat N*S index); offsets[n] is ray n's first
+    compact slot; ``extra`` [N, S] rides the sort as a payload operand
+    (free — no gather needed to compact it). Rays whose samples land
+    past the budget are dropped whole, exactly like the reference when
+    its point buffer fills.
+    """
+    N, S = mask.shape
+    flat = mask.reshape(-1)
+    iota = jnp.arange(N * S, dtype=jnp.int32)
+    keys = jnp.where(flat, iota, N * S + iota)
+    ops = (keys, iota) if extra is None else (keys, iota, extra.reshape(-1))
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    skeys = sorted_ops[0]
+    src = sorted_ops[1][:budget]
+    valid = skeys[:budget] < N * S
+    counts = jnp.sum(mask, axis=1)
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    if extra is None:
+        return src, valid, offsets
+    return src, valid, offsets, sorted_ops[2][:budget]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def place_compact(vals, offsets, src, S: int):
+    """Place per-compact-sample values [M, F] back into [N, S, F] ray
+    slots. Forward is N row-window gathers (each ray's compact segment
+    is contiguous); backward is a gather at ``src`` — the map compact
+    slot -> (ray, slot) is injective, so no scatter is ever needed.
+    Slots beyond a ray's count (or past the budget) contain garbage and
+    MUST be masked by the caller (the march mask already is that mask).
+    """
+    return _place_fwd_impl(vals, offsets, src, S)
+
+
+def _place_fwd_impl(vals, offsets, src, S):
+    M, Fd = vals.shape
+    N = offsets.shape[0]
+    flat = vals.reshape(-1)
+    idx = offsets[:, None] * Fd + jnp.arange(S * Fd, dtype=jnp.int32)[None, :]
+    out = jnp.take(flat, idx, mode="fill", fill_value=0.0)
+    return out.reshape(N, S, Fd)
+
+
+def _place_fwd(vals, offsets, src, S):
+    return _place_fwd_impl(vals, offsets, src, S), (offsets, src, vals.shape)
+
+
+def _place_bwd(S, res, g):
+    offsets, src, vshape = res
+    g2 = g.reshape(-1, vshape[1])  # [N*S, F]
+    dvals = jnp.take(g2, src, axis=0)
+    return dvals, None, None
+
+
+place_compact.defvjp(_place_fwd, _place_bwd)
+
+
+def render_rays_grid_turbo(
+    density_fn: Callable,
+    color_fn: Callable,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    state: OccupancyState,
+    cfg: RenderConfig,
+    rng: Optional[jax.Array] = None,
+    perturb: bool = False,
+    bg_color=None,
+    bg_fn: Optional[Callable] = None,
+    max_samples: Optional[int] = None,
+    aabb: Optional[jnp.ndarray] = None,
+    budget: Optional[int] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Accelerated render v2: turbo march -> global valid-sample
+    compaction -> network on the compact batch -> windowed placement ->
+    masked compositing. Functionally the run_cuda path
+    (renderer.py:256-321) with the reference's point-budget semantics.
+    """
+    N = rays_o.shape[0]
+    m = march_rays_turbo(
+        rays_o, rays_d, state, cfg, rng=rng, perturb=perturb,
+        max_samples=max_samples, aabb=aabb,
+    )
+    S = m["mask"].shape[1]
+    if budget is None:
+        budget = N * cfg.compact_mean_samples
+    budget = min(budget, N * S)
+    # lattice indices ride the compaction sort; per-sample geometry is
+    # then rebuilt from ONE [M, 8] ray-row gather + arithmetic (every
+    # extra M-row gather costs ~5 ms at this shape)
+    src, valid_m, offsets, lat_c = compact_valid_samples(
+        m["mask"], budget, extra=m["lat"]
+    )
+    ray_id = src // S
+    ray_row = jnp.concatenate(
+        [rays_o, rays_d, m["t0"][:, None], jnp.zeros((N, 1), jnp.float32)],
+        axis=-1,
+    )  # [N, 8]
+    rr = jnp.take(ray_row, ray_id, axis=0)  # [M, 8]
+    t_c = rr[:, 6] + lat_c.astype(jnp.float32) * m["dt"]
+    pts = jnp.clip(
+        rr[:, 0:3] + rr[:, 3:6] * t_c[:, None], -cfg.bound, cfg.bound
+    )  # [M, 3]
+    dirs = rr[:, 3:6]
+    sigmas, geo = density_fn(pts)
+    rgbs = color_fn(dirs, geo)
+    vals = jnp.concatenate(
+        [sigmas.reshape(-1, 1).astype(jnp.float32), rgbs.astype(jnp.float32)],
+        axis=-1,
+    )  # [M, 4]
+    placed = place_compact(vals, offsets, src, S)  # [N, S, 4]
+    maskb = m["mask"] & (
+        (offsets[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]) < budget
+    )
+    out = composite_rays(
+        placed[..., 0], placed[..., 1:], m["ts"], m["deltas"], maskb,
+        m["nears"], m["fars"],
+        density_scale=cfg.density_scale, t_thresh=cfg.t_thresh,
+    )
+    if bg_fn is not None and cfg.bg_radius > 0:
+        sph = sph_from_ray(rays_o, rays_d, cfg.bg_radius)
+        bg = bg_fn(sph, rays_d)
+    elif bg_color is None:
+        bg = jnp.float32(1.0)
+    else:
+        bg = bg_color
+    out["image"] = out["image"] + (1.0 - out["weights_sum"])[..., None] * bg
+    out["n_samples"] = jnp.sum(maskb)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # density-grid maintenance
 # ---------------------------------------------------------------------------
 
@@ -404,11 +768,14 @@ def update_occupancy(
     mean_density = jnp.mean(jnp.maximum(new_grid, 0.0))
     thresh = jnp.minimum(mean_density, cfg.density_thresh)
     occ = new_grid > thresh
+    coarse_payload, fine_payload = pack_occupancy_payloads(occ)
     return OccupancyState(
         density_grid=new_grid,
         occ_grid=occ,
         mean_density=mean_density,
         iter_density=state.iter_density + 1,
+        coarse_payload=coarse_payload,
+        fine_payload=fine_payload,
     )
 
 

@@ -1,0 +1,80 @@
+"""Multiresolution CP factor-bank encoding — the TPU-native flagship
+position encoder.
+
+Replaces the reference's multiresolution hash grid
+(gridencoder/grid.py:96-185) for the hot training path. Rationale
+(measured, scripts/microbench_*.py): on TPU every random table-row
+access moves a full 4 KB tile (~15-35 ns/row), so instant-ngp's
+8-corner-per-(point, level) random access is the throughput wall; a CP
+factorization evaluates by dense MXU matmuls instead (see
+ngp_tpu.ops.pallas.cp_kernels). Spatial coupling that rank-R CP cannot
+express is recovered by (a) a frequency encoding of the raw position
+(low frequencies) and (b) the downstream MLP mixing the per-bank
+features — the same division of labor as TensoRF-CP
+(tensoRF/network_cp.py:67-111), which reaches instant-ngp-class PSNR
+with total rank a few hundred.
+
+Geometry parity notes: inputs live in [0, 1]^3 like GridEncoder
+(grid.py:149); out-of-range inputs produce zero features
+(gridencoder.cu:110-135 semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ngp_tpu.ops.freq import freq_encode, freq_encode_dim
+from ngp_tpu.ops.pallas.cp_kernels import cp_encode, cp_encode_reference
+
+
+@dataclasses.dataclass(frozen=True)
+class CPGridConfig:
+    resolutions: Tuple[int, ...] = (256, 512, 1024, 2048)
+    rank: int = 64
+    freq_degree: int = 5  # freq-encoded xyz appended (coarse scales)
+    init_scale: float = 0.2
+    block: int = 1024
+
+    @property
+    def output_dim(self) -> int:
+        d = len(self.resolutions) * self.rank
+        if self.freq_degree > 0:
+            d += freq_encode_dim(3, self.freq_degree)
+        return d
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Tuple[jnp.ndarray, ...]:
+        keys = jax.random.split(key, len(self.resolutions))
+        return tuple(
+            (jax.random.normal(k, (3, r, self.rank), jnp.float32)
+             * self.init_scale).astype(dtype)
+            for k, r in zip(keys, self.resolutions)
+        )
+
+
+def cpgrid_encode(
+    x: jnp.ndarray,
+    factors: Tuple[jnp.ndarray, ...],
+    cfg: CPGridConfig,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """x in [0, 1]^3, any leading shape -> [..., output_dim] float32."""
+    batch_shape = x.shape[:-1]
+    xf = x.reshape(-1, 3).astype(jnp.float32)
+    if compute_dtype is not None:
+        factors = tuple(f.astype(compute_dtype) for f in factors)
+    if jax.default_backend() == "cpu":
+        # differentiable gather-based fallback (tests / CPU mesh runs);
+        # the Pallas kernel itself is parity-tested in interpret mode
+        feats = cp_encode_reference(xf, factors, cfg.resolutions)
+    else:
+        feats = cp_encode(xf, factors, cfg.resolutions, cfg.block)
+    oob = jnp.any((xf < 0.0) | (xf > 1.0), axis=-1)
+    feats = jnp.where(oob[:, None], 0.0, feats)
+    if cfg.freq_degree > 0:
+        fr = freq_encode(2.0 * xf - 1.0, cfg.freq_degree).astype(jnp.float32)
+        feats = jnp.concatenate([feats, fr], axis=-1)
+    return feats.reshape(*batch_shape, cfg.output_dim)

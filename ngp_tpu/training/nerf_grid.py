@@ -20,6 +20,7 @@ from ngp_tpu.models.occupancy import (
     init_occupancy,
     mark_untrained_grid,
     render_rays_grid,
+    render_rays_grid_turbo,
     update_occupancy,
 )
 from ngp_tpu.training.nerf import NeRFTrainer
@@ -46,7 +47,10 @@ class GridNeRFTrainer(NeRFTrainer):
         # eval-budget override only applies outside training steps
         # (training passes rng+perturb)
         max_samples = None if perturb else self.eval_max_samples
-        return render_rays_grid(
+        render = (
+            render_rays_grid_turbo if self.render_cfg.turbo else render_rays_grid
+        )
+        return render(
             density_fn,
             color_fn,
             rays_o,

@@ -1,0 +1,182 @@
+"""Turbo march (v2) parity vs the v1 masked marcher, compaction and
+placement correctness (including the custom-vjp backward)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngp_tpu.config import RenderConfig
+from ngp_tpu.models.occupancy import (
+    compact_valid_samples,
+    init_occupancy,
+    march_rays,
+    march_rays_turbo,
+    pack_occupancy_payloads,
+    place_compact,
+    render_rays_grid,
+    render_rays_grid_turbo,
+)
+
+
+def _cfg(**kw):
+    kw.setdefault("bound", 1.0)
+    kw.setdefault("min_near", 0.05)
+    kw.setdefault("dt_gamma", 0.0)
+    kw.setdefault("max_steps", 64)
+    kw.setdefault("max_samples_per_ray", 16)
+    kw.setdefault("grid_size", 16)
+    kw.setdefault("turbo", True)
+    kw.setdefault("coarse_candidates", 64)   # = max_steps: no pruning loss
+    kw.setdefault("crossing_slots", 64)      # ample
+    kw.setdefault("compact_mean_samples", 16)
+    return RenderConfig(**kw)
+
+
+def _rays(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    ro = np.tile(np.array([[0.0, 0.0, -2.0]], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(ro), jnp.asarray(d)
+
+
+def _random_state(cfg, seed=1, frac=0.3):
+    rng = np.random.default_rng(seed)
+    state = init_occupancy(cfg)
+    occ = jnp.asarray(
+        rng.random((cfg.cascades,) + (cfg.grid_size,) * 3) < frac
+    )
+    cp, fp = pack_occupancy_payloads(occ)
+    return state.replace(occ_grid=occ, coarse_payload=cp, fine_payload=fp)
+
+
+def test_turbo_march_matches_v1():
+    cfg = _cfg()
+    state = _random_state(cfg)
+    ro, rd = _rays()
+    m1 = march_rays(ro, rd, state, cfg)
+    m2 = march_rays_turbo(ro, rd, state, cfg)
+    np.testing.assert_array_equal(np.asarray(m1["mask"]), np.asarray(m2["mask"]))
+    np.testing.assert_allclose(
+        np.asarray(m1["ts"]), np.asarray(m2["ts"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m1["xyzs"]), np.asarray(m2["xyzs"]), atol=1e-5
+    )
+
+
+def test_turbo_march_bound2_cascades():
+    cfg = _cfg(bound=2.0, max_steps=128, coarse_candidates=128, crossing_slots=128)
+    state = _random_state(cfg, frac=0.4)
+    ro, rd = _rays(seed=3)
+    m1 = march_rays(ro, rd, state, cfg)
+    m2 = march_rays_turbo(ro, rd, state, cfg)
+    np.testing.assert_array_equal(np.asarray(m1["mask"]), np.asarray(m2["mask"]))
+    np.testing.assert_allclose(np.asarray(m1["ts"]), np.asarray(m2["ts"]), atol=1e-6)
+
+
+def test_crossing_budget_drops_far_first():
+    # tiny crossing budget: near samples must survive, far ones drop
+    cfg_full = _cfg()
+    cfg_tight = _cfg(crossing_slots=2)
+    state = _random_state(cfg_full, frac=0.5)
+    ro, rd = _rays(n=16, seed=5)
+    mf = march_rays_turbo(ro, rd, state, cfg_full)
+    mt = march_rays_turbo(ro, rd, state, cfg_tight)
+    nt = np.asarray(mt["n_total"])
+    nf = np.asarray(mf["n_total"])
+    assert (nt <= nf).all()
+    # surviving samples are a prefix of the full set
+    for i in range(16):
+        k = int(nt[i])
+        np.testing.assert_allclose(
+            np.asarray(mt["ts"])[i, :k], np.asarray(mf["ts"])[i, :k], atol=1e-6
+        )
+
+
+def test_compact_and_place_roundtrip():
+    rng = np.random.default_rng(7)
+    N, S, F = 32, 8, 4
+    counts = rng.integers(0, S + 1, size=N)
+    mask = jnp.asarray(np.arange(S)[None, :] < counts[:, None])
+    budget = int(counts.sum())  # exact fit
+    src, valid, offsets = compact_valid_samples(mask, budget)
+    assert bool(valid.all())
+    vals = jnp.asarray(rng.normal(size=(budget, F)).astype(np.float32))
+    placed = place_compact(vals, offsets, src, S)
+    # every valid (n, s) slot must hold vals[offsets[n] + s]
+    o = np.asarray(offsets)
+    p = np.asarray(placed)
+    v = np.asarray(vals)
+    for n in range(N):
+        for s in range(int(counts[n])):
+            np.testing.assert_allclose(p[n, s], v[o[n] + s])
+
+
+def test_place_compact_gradient():
+    rng = np.random.default_rng(8)
+    N, S, F = 16, 8, 4
+    counts = rng.integers(1, S + 1, size=N)
+    mask = jnp.asarray(np.arange(S)[None, :] < counts[:, None])
+    budget = int(counts.sum())
+    src, valid, offsets = compact_valid_samples(mask, budget)
+    g = jnp.asarray(rng.normal(size=(N, S, F)).astype(np.float32))
+    maskf = jnp.asarray(mask)[..., None]
+
+    def loss(vals):
+        placed = place_compact(vals, offsets, src, S)
+        return jnp.sum(jnp.where(maskf, placed, 0.0) * g)
+
+    vals = jnp.asarray(rng.normal(size=(budget, F)).astype(np.float32))
+    grad = jax.grad(loss)(vals)
+    # reference: d vals[m] = g[n, s] at the slot it fills
+    o = np.asarray(offsets)
+    gref = np.zeros((budget, F), np.float32)
+    for n in range(N):
+        for s in range(int(counts[n])):
+            gref[o[n] + s] = np.asarray(g)[n, s]
+    np.testing.assert_allclose(np.asarray(grad), gref, atol=1e-6)
+
+
+def test_render_turbo_matches_v1_render():
+    cfg = _cfg()
+    state = _random_state(cfg, frac=0.4)
+    ro, rd = _rays(n=32, seed=11)
+
+    def density_fn(x):
+        s = jnp.sum(jnp.maximum(1.0 - jnp.linalg.norm(x, axis=-1), 0.0) * 8.0, axis=-1) \
+            if False else jnp.maximum(1.0 - jnp.linalg.norm(x, axis=-1), 0.0) * 8.0
+        return s, x * 0.5 + 0.5
+
+    def color_fn(d, geo):
+        return jnp.clip(geo, 0.0, 1.0)
+
+    o1 = render_rays_grid(density_fn, color_fn, ro, rd, state, cfg)
+    o2 = render_rays_grid_turbo(density_fn, color_fn, ro, rd, state, cfg)
+    np.testing.assert_allclose(
+        np.asarray(o1["image"]), np.asarray(o2["image"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1["depth"]), np.asarray(o2["depth"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1["weights_sum"]), np.asarray(o2["weights_sum"]), atol=1e-4
+    )
+
+
+def test_render_turbo_budget_drops_trailing_rays():
+    cfg = _cfg(compact_mean_samples=2)  # tight global budget
+    state = _random_state(cfg, frac=0.5)
+    ro, rd = _rays(n=32, seed=13)
+
+    def density_fn(x):
+        return jnp.ones(x.shape[:-1]) * 4.0, x * 0.5 + 0.5
+
+    def color_fn(d, geo):
+        return jnp.clip(geo, 0.0, 1.0)
+
+    out = render_rays_grid_turbo(density_fn, color_fn, ro, rd, state, cfg)
+    assert np.isfinite(np.asarray(out["image"])).all()
+    # budgeted sample count can never exceed the global budget
+    assert int(out["n_samples"]) <= 32 * 2
