@@ -53,14 +53,16 @@ def build_parser():
     parser.add_argument("--synthetic", action="store_true", help="generate the procedural test scene at <path> if missing")
     parser.add_argument(
         "--encoding", type=str, default="hashgrid",
-        choices=["hashgrid", "tiledgrid", "brickgrid", "frequency"],
-        help="spatial encoding; 'brickgrid' is the TPU fast path "
-             "(one gather per point-level; ~6x faster steps than hashgrid)",
+        choices=["hashgrid", "tiledgrid", "brickgrid", "cpgrid", "frequency"],
+        help="spatial encoding; 'cpgrid' is the TPU flagship "
+             "(MXU-matmul CP factor banks, zero random memory access)",
     )
     parser.add_argument("--num_levels", type=int, default=16)
     parser.add_argument("--level_dim", type=int, default=2)
-    parser.add_argument("--preset", type=str, default="", choices=["", "tpu"],
-                        help="'tpu': brickgrid L8xC4, S=32, K=512 — the bench config")
+    parser.add_argument("--preset", type=str, default="", choices=["", "tpu", "turbo"],
+                        help="'turbo': cpgrid encoder + matmul-march + sample "
+                             "compaction (the bench config, ~1.2x the CUDA "
+                             "reference); 'tpu': round-1 brickgrid preset")
     parser.add_argument("--max_samples_per_ray", type=int, default=256,
                         help="static per-ray sample budget for the TPU marcher")
     parser.add_argument("--downscale", type=int, default=1)
@@ -86,6 +88,14 @@ def main():
         opt.level_dim = 4
         opt.max_steps = min(opt.max_steps, 256)
         opt.max_samples_per_ray = 32
+    turbo = opt.preset == "turbo"
+    if turbo:
+        opt.fp16 = True
+        opt.cuda_ray = True
+        opt.encoding = "cpgrid"
+        opt.max_steps = min(opt.max_steps, 256)
+        opt.max_samples_per_ray = 32
+        opt.dt_gamma = 0.0  # turbo march uses the uniform closed-form lattice
 
     from ngp_tpu.config import NetworkConfig, RenderConfig, TrainConfig
     from ngp_tpu.data.nerf_dataset import NeRFDataset
@@ -106,6 +116,7 @@ def main():
         dt_gamma=opt.dt_gamma,
         max_steps=opt.max_steps,
         max_samples_per_ray=min(opt.max_samples_per_ray, opt.max_steps),
+        turbo=turbo,
     )
     net_cfg = NetworkConfig(
         encoding=opt.encoding,

@@ -53,6 +53,14 @@ from ngp_tpu.ops.rays import near_far_from_aabb, sph_from_ray
 SQRT3 = math.sqrt(3.0)
 
 
+def lattice_probes(cfg: RenderConfig) -> int:
+    """Uniform-lattice probe count: ceil(max_steps * bound), so that
+    probes at dt_min = 2*sqrt(3)/max_steps spacing cover the longest
+    chord through [-bound, bound]^3 (2*sqrt(3)*bound). Static (bound
+    and max_steps are config), so shapes stay fixed under jit."""
+    return int(math.ceil(cfg.max_steps * max(1.0, cfg.bound)))
+
+
 @flax.struct.dataclass
 class OccupancyState:
     """Device-side density-grid state (renderer.py:87-101).
@@ -164,10 +172,15 @@ def t_lattice(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The deterministic march lattice (t values + step sizes), [N, K].
 
-    K = cfg.max_steps. For dt_gamma == 0 this is closed-form
-    (t0 + k*dt_min); otherwise one lax.scan of length K.
+    For dt_gamma == 0 this is closed-form (t0 + k*dt_min) over
+    K = lattice_probes(cfg) points — MORE than max_steps when bound > 1,
+    so the lattice spans the full AABB chord 2*sqrt(3)*bound. In the
+    reference, empty-space skips advance t without consuming the step
+    budget (raymarching.cu:388-399) so rays always reach ``far``; here
+    probes are decoupled from the sample budget S, so extending the
+    (cheap) probe lattice reproduces that. For dt_gamma > 0 a lax.scan
+    of length max_steps whose adaptive dt growth reaches far.
     """
-    K = cfg.max_steps
     dt_min = 2.0 * SQRT3 / cfg.max_steps
     dt_max = 2.0 * SQRT3 * (2 ** (cfg.cascades - 1)) / cfg.grid_size
 
@@ -179,10 +192,12 @@ def t_lattice(
         t0 = t0 + dt_of(t0) * noise  # perturbed start (raymarching.cu:352)
 
     if cfg.dt_gamma == 0.0:
+        K = lattice_probes(cfg)
         ks = jnp.arange(K, dtype=jnp.float32)
         ts = t0[:, None] + ks[None, :] * dt_min
         dts = jnp.full_like(ts, dt_min)
         return ts, dts
+    K = cfg.max_steps
 
     def body(t, _):
         d = dt_of(t)
@@ -421,7 +436,9 @@ def march_rays_turbo(
                          "(use march_rays for adaptive stepping)")
     S = max_samples or cfg.max_samples_per_ray
     S = min(S, cfg.max_steps)
-    K = cfg.max_steps
+    # probe lattice covers the full 2*sqrt(3)*bound chord (reference
+    # skips don't consume the step budget, raymarching.cu:388-399)
+    K = lattice_probes(cfg)
     K2 = min(cfg.coarse_candidates, K)
     U = cfg.crossing_slots
     N = rays_o.shape[0]
@@ -564,12 +581,21 @@ def compact_valid_samples(mask: jnp.ndarray, budget: int, extra=None):
     return src, valid, offsets, sorted_ops[2][:budget]
 
 
+ALIGN = 4  # compact segment alignment: placement rows are ALIGN*F lanes
+# (4 keeps dummy-sample inflation low while rows stay cheap to gather)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def place_compact(vals, offsets, src, S: int):
     """Place per-compact-sample values [M, F] back into [N, S, F] ray
-    slots. Forward is N row-window gathers (each ray's compact segment
-    is contiguous); backward is a gather at ``src`` — the map compact
-    slot -> (ray, slot) is injective, so no scatter is ever needed.
+    slots. Requires ALIGN-aligned segments (offsets % ALIGN == 0, from
+    compacting an ALIGN-padded mask): both directions are then genuine
+    ROW gathers over [*, ALIGN*F]-wide rows — an element-level
+    formulation costs ~15 ns per ELEMENT on TPU (every scalar gather
+    moves a 4 KB tile), ~12 ms at production shapes; the row form is
+    < 1 ms. Backward
+    gathers at block granularity via ``src`` — the compact-slot ->
+    (ray, slot) map is injective, so no scatter is ever needed.
     Slots beyond a ray's count (or past the budget) contain garbage and
     MUST be masked by the caller (the march mask already is that mask).
     """
@@ -579,9 +605,9 @@ def place_compact(vals, offsets, src, S: int):
 def _place_fwd_impl(vals, offsets, src, S):
     M, Fd = vals.shape
     N = offsets.shape[0]
-    flat = vals.reshape(-1)
-    idx = offsets[:, None] * Fd + jnp.arange(S * Fd, dtype=jnp.int32)[None, :]
-    out = jnp.take(flat, idx, mode="fill", fill_value=0.0)
+    v8 = vals.reshape(M // ALIGN, ALIGN * Fd)
+    rows = offsets[:, None] // ALIGN + jnp.arange(S // ALIGN, dtype=jnp.int32)[None, :]
+    out = jnp.take(v8, rows.reshape(-1), axis=0, mode="clip")
     return out.reshape(N, S, Fd)
 
 
@@ -591,8 +617,17 @@ def _place_fwd(vals, offsets, src, S):
 
 def _place_bwd(S, res, g):
     offsets, src, vshape = res
-    g2 = g.reshape(-1, vshape[1])  # [N*S, F]
-    dvals = jnp.take(g2, src, axis=0)
+    M, Fd = vshape
+    N = offsets.shape[0]
+    nb = M // ALIGN
+    g8 = g.reshape(N * (S // ALIGN), ALIGN * Fd)
+    ray_b = src[::ALIGN] // S  # ray of each compact block
+    j_b = jnp.arange(nb, dtype=jnp.int32) - offsets[ray_b] // ALIGN
+    row_b = ray_b * (S // ALIGN) + jnp.clip(j_b, 0, S // ALIGN - 1)
+    dv8 = jnp.take(g8, row_b, axis=0, mode="clip")
+    # blocks outside their ray's segment feed only masked output -> 0
+    in_seg = (j_b >= 0) & (j_b < S // ALIGN)
+    dvals = jnp.where(in_seg[:, None], dv8, 0.0).reshape(M, Fd)
     return dvals, None, None
 
 
@@ -628,18 +663,22 @@ def render_rays_grid_turbo(
     if budget is None:
         budget = N * cfg.compact_mean_samples
     budget = min(budget, N * S)
-    # lattice indices ride the compaction sort; per-sample geometry is
-    # then rebuilt from ONE [M, 8] ray-row gather + arithmetic (every
-    # extra M-row gather costs ~5 ms at this shape)
+    # compact an ALIGN-padded mask (each ray's sample count rounded up
+    # to a block) so placement is a pure row gather; lattice indices
+    # ride the compaction sort; per-sample geometry is then rebuilt
+    # from ONE block-level ray-row gather + arithmetic (every extra
+    # per-sample gather costs ~3-5 ms at this shape)
+    n_total8 = jnp.minimum((m["n_total"] + ALIGN - 1) // ALIGN * ALIGN, S)
+    mask8 = jnp.arange(S, dtype=jnp.int32)[None, :] < n_total8[:, None]
     src, valid_m, offsets, lat_c = compact_valid_samples(
-        m["mask"], budget, extra=m["lat"]
+        mask8, budget, extra=m["lat"]
     )
-    ray_id = src // S
     ray_row = jnp.concatenate(
         [rays_o, rays_d, m["t0"][:, None], jnp.zeros((N, 1), jnp.float32)],
         axis=-1,
     )  # [N, 8]
-    rr = jnp.take(ray_row, ray_id, axis=0)  # [M, 8]
+    ray_b = src[::ALIGN] // S  # per compact block (segments ALIGN-aligned)
+    rr = jnp.repeat(jnp.take(ray_row, ray_b, axis=0), ALIGN, axis=0)  # [M, 8]
     t_c = rr[:, 6] + lat_c.astype(jnp.float32) * m["dt"]
     pts = jnp.clip(
         rr[:, 0:3] + rr[:, 3:6] * t_c[:, None], -cfg.bound, cfg.bound

@@ -72,9 +72,11 @@ def cpgrid_encode(
         feats = cp_encode_reference(xf, factors, cfg.resolutions)
     else:
         feats = cp_encode(xf, factors, cfg.resolutions, cfg.block)
+    out_dtype = compute_dtype or jnp.float32
+    feats = feats.astype(out_dtype)
     oob = jnp.any((xf < 0.0) | (xf > 1.0), axis=-1)
-    feats = jnp.where(oob[:, None], 0.0, feats)
+    feats = jnp.where(oob[:, None], jnp.zeros((), out_dtype), feats)
     if cfg.freq_degree > 0:
-        fr = freq_encode(2.0 * xf - 1.0, cfg.freq_degree).astype(jnp.float32)
+        fr = freq_encode(2.0 * xf - 1.0, cfg.freq_degree).astype(out_dtype)
         feats = jnp.concatenate([feats, fr], axis=-1)
     return feats.reshape(*batch_shape, cfg.output_dim)

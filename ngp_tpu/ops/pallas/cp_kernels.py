@@ -147,21 +147,22 @@ def _cp_encode_fwd(pos, factors, resolutions, block):
 def _cp_encode_bwd(resolutions, block, res_data, g):
     pos, factors = res_data
     rank = factors[0].shape[-1]
-    block = min(block, 512)  # bwd keeps f32 accumulators in VMEM
-    pos_p = _pad_to(pos.astype(jnp.float32), block)
-    Mp = pos_p.shape[0]
-    g_p = _pad_to(g.astype(jnp.float32), block)
-    grid = (Mp // block,)
     dfactors = []
     for b, res in enumerate(resolutions):
+        # VMEM budget: tent [blk, res] bf16 + f32 accumulator [3, res, R]
+        blk = min(block, 512 if res > 1024 else 1024)
+        pos_p = _pad_to(pos.astype(jnp.float32), blk)
+        Mp = pos_p.shape[0]
+        g_p = _pad_to(g.astype(jnp.float32), blk)
+        grid = (Mp // blk,)
         gb = g_p[:, b * rank : (b + 1) * rank]
         df = pl.pallas_call(
             functools.partial(_bwd_kernel, res, rank),
             out_shape=jax.ShapeDtypeStruct(factors[b].shape, jnp.float32),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, rank), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, rank), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(factors[b].shape, lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],

@@ -47,10 +47,20 @@ class GridNeRFTrainer(NeRFTrainer):
         # eval-budget override only applies outside training steps
         # (training passes rng+perturb)
         max_samples = None if perturb else self.eval_max_samples
-        render = (
-            render_rays_grid_turbo if self.render_cfg.turbo else render_rays_grid
-        )
-        return render(
+        if self.render_cfg.turbo:
+            # eval batches are spatially COHERENT pixel chunks — object
+            # chunks far exceed the mean-samples budget sized for random
+            # training batches, so eval uses the full (no-drop) budget
+            budget = None
+            if not perturb:
+                S = max_samples or self.render_cfg.max_samples_per_ray
+                budget = rays_o.shape[0] * S
+            return render_rays_grid_turbo(
+                density_fn, color_fn, rays_o, rays_d, occ, self.render_cfg,
+                rng=rng, perturb=perturb, bg_color=bg_color, bg_fn=bg_fn,
+                max_samples=max_samples, budget=budget,
+            )
+        return render_rays_grid(
             density_fn,
             color_fn,
             rays_o,

@@ -39,7 +39,7 @@ def main():
         bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=256,
         max_samples_per_ray=32, grid_size=128, density_thresh=10.0,
         turbo=True, coarse_candidates=96, crossing_slots=16,
-        compact_mean_samples=16,
+        compact_mean_samples=8,
     )
     net_cfg = NetworkConfig(
         encoding="cpgrid", use_bf16=True,
@@ -157,6 +157,34 @@ def main():
             return jnp.mean(out["image"] ** 2)
         return jax.grad(loss_fn)(params)
     timeit("render fwd+bwd", lambda i: render_fwdbwd(params, ro[i % POOL], rd[i % POOL], occ, i))
+
+    # 5b. render fwd only
+    @jax.jit
+    def render_fwd(params, ro, rd, occ, i):
+        out = trainer.render_batch(
+            params, ro, rd, rng=jax.random.fold_in(jax.random.PRNGKey(2), i),
+            perturb=True, bg_color=jnp.float32(1.0), aux={"occ": occ})
+        return out["image"]
+    timeit("render fwd only", lambda i: render_fwd(params, ro[i % POOL], rd[i % POOL], occ, i))
+
+    # 5c. placement fwd+bwd at production shapes
+    from ngp_tpu.models import occupancy as om
+    offs = jnp.asarray((rng.integers(0, M, N)).astype(np.int32))
+    srcp = jnp.asarray(rng.permutation(N * S)[:M].astype(np.int32))
+    vals4 = jnp.asarray(rng.normal(size=(POOL, M, 4)).astype(np.float32))
+    @jax.jit
+    def place_fb(v):
+        def loss(vv):
+            return jnp.sum(om.place_compact(vv, offs, srcp, S))
+        return jax.grad(loss)(v)
+    timeit(f"place_compact fwd+bwd [{M},4]", lambda i: place_fb(vals4[i % POOL]))
+
+    rowtab = jnp.asarray(rng.normal(size=(N, 8)).astype(np.float32))
+    rid = jnp.asarray(rng.integers(0, N, (POOL, M)).astype(np.int32))
+    @jax.jit
+    def rowg(r):
+        return jnp.take(rowtab, r, axis=0)
+    timeit(f"ray-row gather [{M},8]", lambda i: rowg(rid[i % POOL]))
 
     # 6. occupancy refresh (partial)
     def upd(params, occst, rng):

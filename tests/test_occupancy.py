@@ -194,3 +194,56 @@ def test_grid_trainer_e2e(tmp_path):
     # the grid should have sparsified (scene occupies << half the volume)
     occ_frac = float(np.asarray(trainer.aux["occ"].occ_grid).mean())
     assert occ_frac < 0.9, occ_frac
+
+
+def _far_slab_state(cfg, z0, z1):
+    """Occupancy only in a z-slab, set in EVERY cascade's own frame."""
+    H = cfg.grid_size
+    state = init_occupancy(cfg)
+    occ = np.zeros((cfg.cascades, H, H, H), bool)
+    for lvl in range(cfg.cascades):
+        mb = min(2.0**lvl, cfg.bound)
+        zs = np.linspace(-mb, mb, H, endpoint=False) + mb / H
+        zmask = (zs >= z0) & (zs <= z1)
+        occ[lvl][:, :, zmask] = True
+    return state.replace(occ_grid=jnp.asarray(occ))
+
+
+def test_march_reaches_far_at_bound2_dt_gamma0():
+    """Regression (round-1 verdict): with dt_gamma=0 the lattice used to
+    span only max_steps*dt_min = 2*sqrt(3) world units regardless of
+    bound, so geometry beyond that silently vanished. The reference's
+    empty-space skip advances t without consuming the step budget
+    (raymarching.cu:388-399); the probe lattice now covers the full
+    2*sqrt(3)*bound chord."""
+    cfg = RenderConfig(
+        bound=2.0, min_near=0.05, dt_gamma=0.0, max_steps=256,
+        max_samples_per_ray=32, grid_size=32,
+    )
+    # ray from z=-3: near t=1 (z=-2); old lattice ended at
+    # z = -2 + 2*sqrt(3) ~ 1.46 — the slab at z in [1.6, 1.9] was lost
+    state = _far_slab_state(cfg, 1.6, 1.9)
+    ro = jnp.asarray([[0.0, 0.0, -3.0]])
+    rd = jnp.asarray([[0.0, 0.0, 1.0]])
+    m = march_rays(ro, rd, state, cfg)
+    mask = np.asarray(m["mask"][0])
+    assert mask.sum() > 0, "ray never reached the far slab"
+    z = np.asarray(m["xyzs"][0, :, 2])[mask]
+    cell = 2 * cfg.bound / cfg.grid_size
+    assert z.min() > 1.6 - 2 * cell and z.max() < 1.9 + 2 * cell
+
+    # turbo marcher agrees
+    from ngp_tpu.models.occupancy import march_rays_turbo, pack_occupancy_payloads
+
+    cp, fp = pack_occupancy_payloads(state.occ_grid)
+    state_t = state.replace(coarse_payload=cp, fine_payload=fp)
+    cfg_t = RenderConfig(
+        bound=2.0, min_near=0.05, dt_gamma=0.0, max_steps=256,
+        max_samples_per_ray=32, grid_size=32, turbo=True,
+        coarse_candidates=512, crossing_slots=64,
+    )
+    m2 = march_rays_turbo(ro, rd, state_t, cfg_t)
+    np.testing.assert_array_equal(np.asarray(m2["mask"][0]), mask)
+    np.testing.assert_allclose(
+        np.asarray(m2["ts"][0])[mask], np.asarray(m["ts"][0])[mask], atol=1e-5
+    )

@@ -96,11 +96,12 @@ def test_crossing_budget_drops_far_first():
 
 
 def test_compact_and_place_roundtrip():
+    # place_compact requires 8-ALIGNED segments: counts multiples of 8
     rng = np.random.default_rng(7)
-    N, S, F = 32, 8, 4
-    counts = rng.integers(0, S + 1, size=N)
+    N, S, F = 32, 16, 4
+    counts = rng.integers(0, S // 8 + 1, size=N) * 8
     mask = jnp.asarray(np.arange(S)[None, :] < counts[:, None])
-    budget = int(counts.sum())  # exact fit
+    budget = int(counts.sum())  # exact fit (multiple of 8)
     src, valid, offsets = compact_valid_samples(mask, budget)
     assert bool(valid.all())
     vals = jnp.asarray(rng.normal(size=(budget, F)).astype(np.float32))
@@ -116,8 +117,8 @@ def test_compact_and_place_roundtrip():
 
 def test_place_compact_gradient():
     rng = np.random.default_rng(8)
-    N, S, F = 16, 8, 4
-    counts = rng.integers(1, S + 1, size=N)
+    N, S, F = 16, 16, 4
+    counts = rng.integers(1, S // 8 + 1, size=N) * 8
     mask = jnp.asarray(np.arange(S)[None, :] < counts[:, None])
     budget = int(counts.sum())
     src, valid, offsets = compact_valid_samples(mask, budget)
@@ -130,7 +131,7 @@ def test_place_compact_gradient():
 
     vals = jnp.asarray(rng.normal(size=(budget, F)).astype(np.float32))
     grad = jax.grad(loss)(vals)
-    # reference: d vals[m] = g[n, s] at the slot it fills
+    # reference: d vals[m] = masked g[n, s] at the slot it fills
     o = np.asarray(offsets)
     gref = np.zeros((budget, F), np.float32)
     for n in range(N):
