@@ -45,6 +45,7 @@ from typing import Callable, Dict, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ngp_tpu.config import RenderConfig
 from ngp_tpu.ops.morton import packbits
@@ -130,10 +131,35 @@ def init_occupancy(cfg: RenderConfig) -> OccupancyState:
     )
 
 
+@functools.lru_cache(maxsize=4)
+def _morton_perm(H: int):
+    """Row-major flat index of each Morton code m in [0, H^3) — numpy
+    (host staging; eager jnp dispatch through the tunnel is seconds)."""
+    m = np.arange(H * H * H, dtype=np.uint64)
+
+    def compact(v):
+        v = v & 0x1249249249249249
+        v = (v | (v >> 2)) & 0x10C30C30C30C30C3
+        v = (v | (v >> 4)) & 0x100F00F00F00F00F
+        v = (v | (v >> 8)) & 0x1F0000FF0000FF
+        v = (v | (v >> 16)) & 0x1F00000000FFFF
+        v = (v | (v >> 32)) & 0x1FFFFF
+        return v
+
+    x, y, z = compact(m), compact(m >> 1), compact(m >> 2)
+    return ((x * H + y) * H + z).astype(np.int32)
+
+
 def bitfield(state: OccupancyState) -> jnp.ndarray:
-    """uint8 bitfield view (API/checkpoint parity with the reference's
-    density_bitfield; bit order matches packbits, raymarching.cu:268)."""
-    return packbits(state.occ_grid.astype(jnp.float32).reshape(-1), 0.5)
+    """uint8 density_bitfield with REFERENCE cell order: the reference
+    writes each cell at its Morton code (nerf/renderer.py:459-462 via
+    morton3D, then packbits raymarching.cu:268), so bit m here is the
+    cell at coords morton3d_invert(m) — a reference checkpoint consumer
+    reads identical bytes."""
+    H = state.occ_grid.shape[-1]
+    flat = state.occ_grid.reshape(state.occ_grid.shape[0], -1)
+    zorder = jnp.take(flat, jnp.asarray(_morton_perm(H)), axis=1)
+    return packbits(zorder.astype(jnp.float32).reshape(-1), 0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -861,13 +887,12 @@ def mark_untrained_grid(
             cam = jnp.einsum("pij,pmj->pmi", rot.transpose(0, 2, 1), rel)
             z = cam[..., 2]
             in_front = z > 0.01
-            u = cam[..., 0] / jnp.maximum(z, 1e-6) * fx
-            v = cam[..., 1] / jnp.maximum(z, 1e-6) * fy
-            # half-grid-cell tolerance in pixels (renderer.py:418-428)
-            tol_u = half * fx / jnp.maximum(z, 1e-6)
-            tol_v = half * fy / jnp.maximum(z, 1e-6)
-            in_x = jnp.abs(u - (W_img / 2 - cx)) < (W_img / 2 + tol_u)
-            in_y = jnp.abs(v - (H_img / 2 - cy)) < (H_img / 2 + tol_v)
+            # reference test (renderer.py:418-428): |x_cam| inside the
+            # half-FOV extent at depth z plus a FULL-cell world margin —
+            # 2*half_grid_size, so boundary-visible cells are never
+            # permanently culled
+            in_x = jnp.abs(cam[..., 0]) < cx / fx * z + 2 * half
+            in_y = jnp.abs(cam[..., 1]) < cy / fy * z + 2 * half
             return jnp.any(in_front & in_x & in_y, axis=0)  # [m]
 
         chunk = 2**17

@@ -23,9 +23,9 @@ XLA's deterministic ``scatter-add`` from autodiff of ``take`` — no
 custom VJP needed for correctness. All level geometry (resolutions,
 strides, offsets, whether a level hashes) is static Python, so the
 whole encoder unrolls into L fused gather+FMA blocks under ``jit``.
-A Pallas kernel version for the training hot path lives in
-``ngp_tpu.ops.pallas.hashgrid_kernel`` (same contract, checked against
-this implementation in tests).
+This module is the exact-parity reference path; the TPU training hot
+path avoids table random access entirely (``ngp_tpu.ops.cpgrid`` — CP
+factor banks contracted on the MXU, see ``ops/pallas/cp_kernels.py``).
 """
 
 from __future__ import annotations

@@ -247,3 +247,22 @@ def test_march_reaches_far_at_bound2_dt_gamma0():
     np.testing.assert_allclose(
         np.asarray(m2["ts"][0])[mask], np.asarray(m["ts"][0])[mask], atol=1e-5
     )
+
+
+def test_bitfield_reference_morton_order():
+    """bitfield() bit m must be the cell at morton3d_invert(m) — the
+    reference writes density at Morton codes (renderer.py:459-462)
+    before packbits, so checkpoint consumers see Z-order bytes."""
+    from ngp_tpu.models.occupancy import bitfield
+    from ngp_tpu.ops.morton import morton3d_invert, unpackbits
+
+    cfg = RenderConfig(bound=1.0, grid_size=16)
+    rng = np.random.default_rng(11)
+    H = cfg.grid_size
+    occ = rng.random((cfg.cascades, H, H, H)) < 0.3
+    state = init_occupancy(cfg).replace(occ_grid=jnp.asarray(occ))
+    bits = np.asarray(unpackbits(bitfield(state))).reshape(cfg.cascades, -1)
+    coords = np.asarray(morton3d_invert(jnp.arange(H * H * H)))
+    for c in range(cfg.cascades):
+        expect = occ[c, coords[:, 0], coords[:, 1], coords[:, 2]]
+        np.testing.assert_array_equal(bits[c].astype(bool), expect)
