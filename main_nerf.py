@@ -38,7 +38,12 @@ def build_parser():
     # network
     parser.add_argument("--fp16", action="store_true", help="bf16 mixed precision (TPU)")
     # dataset
-    parser.add_argument("--color_space", type=str, default="srgb")
+    parser.add_argument("--color_space", type=str, default="srgb", choices=["srgb", "linear"],
+                        help="'linear': train on linearized images, convert exports back to srgb")
+    parser.add_argument("--tv_weight", type=float, default=0.0,
+                        help="TV regulariser weight on dense grid-encoder levels")
+    parser.add_argument("--distortion_weight", type=float, default=0.0,
+                        help="distortion (EffDistLoss) weight on ray weights")
     parser.add_argument("--preload", action="store_true", help="no-op: data is always device-resident on TPU")
     parser.add_argument("--bound", type=float, default=2.0)
     parser.add_argument("--scale", type=float, default=0.33)
@@ -135,6 +140,9 @@ def main():
         workspace=opt.workspace,
         ckpt=opt.ckpt,
         update_extra_interval=opt.update_extra_interval,
+        tv_weight=opt.tv_weight,
+        distortion_weight=opt.distortion_weight,
+        color_space=opt.color_space,
     )
 
     model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
@@ -151,7 +159,7 @@ def main():
         trainer.load_checkpoint(
             None if opt.ckpt == "latest" else opt.ckpt
         )
-        test_ds = NeRFDataset(opt.path, split="test", scale=opt.scale, offset=opt.offset, downscale=opt.downscale)
+        test_ds = NeRFDataset(opt.path, split="test", scale=opt.scale, offset=opt.offset, downscale=opt.downscale, color_space=opt.color_space)
         if test_ds.has_gt:
             trainer.evaluate(test_ds)
         trainer.test(test_ds)
@@ -162,15 +170,16 @@ def main():
     train_ds = NeRFDataset(
         opt.path, split="train", scale=opt.scale, offset=opt.offset,
         downscale=opt.downscale, error_map=opt.error_map, seed=opt.seed,
+        color_space=opt.color_space,
     )
-    valid_ds = NeRFDataset(opt.path, split="val", scale=opt.scale, offset=opt.offset, downscale=opt.downscale)
+    valid_ds = NeRFDataset(opt.path, split="val", scale=opt.scale, offset=opt.offset, downscale=opt.downscale, color_space=opt.color_space)
 
     steps_per_epoch = len(train_ds)
     max_epochs = opt.epochs or max(1, opt.iters // steps_per_epoch)
     trainer.load_checkpoint(None if opt.ckpt == "latest" else opt.ckpt)
     trainer.train_on_dataset(train_ds, valid_ds, max_epochs=max_epochs)
 
-    test_ds = NeRFDataset(opt.path, split="test", scale=opt.scale, offset=opt.offset, downscale=opt.downscale)
+    test_ds = NeRFDataset(opt.path, split="test", scale=opt.scale, offset=opt.offset, downscale=opt.downscale, color_space=opt.color_space)
     if test_ds.has_gt:
         trainer.evaluate(test_ds)
     trainer.test(test_ds)

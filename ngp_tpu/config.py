@@ -120,3 +120,10 @@ class TrainConfig:
     seed: int = 0
     workspace: str = "workspace"
     ckpt: str = "latest"
+    # regularisers (reference gridencoder grad_total_variation /
+    # loss.py EffDistLoss, off by default like the reference mains)
+    tv_weight: float = 0.0
+    distortion_weight: float = 0.0
+    # 'linear': dataset images are converted srgb->linear at load and
+    # exported frames converted back (nerf/utils.py:691-713)
+    color_space: str = "srgb"

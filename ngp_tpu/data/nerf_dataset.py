@@ -92,6 +92,7 @@ class NeRFDataset:
         n_test: int = 10,
         error_map: bool = False,
         seed: int = 0,
+        color_space: str = "srgb",
     ):
         import cv2
 
@@ -194,6 +195,12 @@ class NeRFDataset:
             times = times / max(times.max(), 1.0)
         self.times = times
         self.images = np.stack(images) if images else None
+        if self.images is not None and color_space == "linear":
+            # train in linear radiance (provider.py color_space handling;
+            # export converts back via Trainer._export_color)
+            from ngp_tpu.utils.color import srgb_to_linear_np
+
+            self.images[..., :3] = srgb_to_linear_np(self.images[..., :3])
         self.radius = float(np.linalg.norm(self.poses[:, :3, 3], axis=-1).mean())
 
         self.error_map = (

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ngp_tpu.ops.brickgrid import BrickGridConfig, brick_encode
 from ngp_tpu.ops.cpgrid import CPGridConfig, cpgrid_encode
 from ngp_tpu.ops.freq import freq_encode, freq_encode_dim
-from ngp_tpu.ops.hashgrid import GridConfig, grid_encode
+from ngp_tpu.ops.hashgrid import GridConfig, grid_encode, grid_tv_loss
 from ngp_tpu.ops.sh import sh_basis_dim, sh_encode
 
 
@@ -108,13 +108,22 @@ class GridEncoder(nn.Module):
     cfg: GridConfig
     compute_dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(self, x):
-        emb = self.param(
+    def setup(self):
+        self.embeddings = self.param(
             "embeddings",
             lambda key: self.cfg.init(key),
         )
-        return grid_encode(x, emb, self.cfg, compute_dtype=self.compute_dtype)
+
+    def __call__(self, x):
+        return grid_encode(
+            x, self.embeddings, self.cfg, compute_dtype=self.compute_dtype
+        )
+
+    def tv_loss(self, levels=None):
+        """Scalar TV regulariser over dense (non-hashed) levels — the
+        autodiff equivalent of the reference's grad_total_variation
+        (gridencoder.cu:506-645)."""
+        return grid_tv_loss(self.embeddings, self.cfg, levels=levels)
 
     @property
     def output_dim(self):

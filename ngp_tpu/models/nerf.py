@@ -114,6 +114,14 @@ class NeRFNetwork(nn.Module):
             rgb = rgb + 0.0 * self.background(sph, d)
         return sigma, rgb
 
+    def tv_loss(self):
+        """Scalar TV regulariser on the spatial grid encoder (0 for
+        encodings without a dense table) — wires the reference's
+        grad_total_variation (gridencoder.cu:506-645) as a loss term."""
+        if hasattr(self.encoder, "tv_loss"):
+            return self.encoder.tv_loss()
+        return jnp.float32(0.0)
+
     def background(self, sph, d):
         """sph: [..., 2] in [-1, 1] (sphere coords); d: [..., 3] → rgb."""
         if self.render.bg_radius <= 0:

@@ -395,6 +395,7 @@ def render_rays_grid(
         bg = bg_color
     out["image"] = out["image"] + (1.0 - out["weights_sum"])[..., None] * bg
     out["n_samples"] = jnp.sum(m["mask"])
+    out["ts"], out["deltas"] = m["ts"], m["deltas"]  # for distortion loss
     return out
 
 
@@ -734,6 +735,7 @@ def render_rays_grid_turbo(
         bg = bg_color
     out["image"] = out["image"] + (1.0 - out["weights_sum"])[..., None] * bg
     out["n_samples"] = jnp.sum(maskb)
+    out["ts"], out["deltas"] = m["ts"], m["deltas"]  # for distortion loss
     return out
 
 

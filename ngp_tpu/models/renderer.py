@@ -201,5 +201,6 @@ def render_rays(
         "weights_sum": weights_sum,
         "weights": weights,
         "z_vals": z_vals,
+        "ts": z_vals,  # uniform key across render paths (distortion loss)
         "deltas": deltas,
     }

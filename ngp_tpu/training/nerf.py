@@ -38,6 +38,7 @@ from ngp_tpu.data.raysampler import (
 )
 from ngp_tpu.models.nerf import NeRFNetwork
 from ngp_tpu.models.renderer import render_rays
+from ngp_tpu.ops.losses import eff_distloss
 from ngp_tpu.training.metrics import PSNRMeter, psnr
 from ngp_tpu.training.state import TrainState, apply_gradients, create_train_state
 from ngp_tpu.training.trainer import Trainer
@@ -167,7 +168,15 @@ class NeRFTrainer(Trainer):
                 rng=k_render, perturb=True, bg_color=bg_color, aux=aux,
             )
             per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)  # [N]
-            return per_ray.mean() + self._loss_extra(params), per_ray
+            loss = per_ray.mean() + self._loss_extra(params)
+            wd = self.train_cfg.distortion_weight
+            if wd > 0:
+                # reference loss.py:30-76 EffDistLoss; padded slots have
+                # weight 0 so they contribute nothing
+                loss = loss + wd * eff_distloss(
+                    out["weights"], out["ts"], out["deltas"]
+                ).mean()
+            return loss, per_ray
 
         (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         state = apply_gradients(state, grads, self.tx, ema_decay=self.ema_decay)
@@ -187,6 +196,9 @@ class NeRFTrainer(Trainer):
     def _loss_extra(self, params):
         """Additional loss terms (overridden by workloads, e.g.
         TensoRF's L1 factor sparsity)."""
+        wt = self.train_cfg.tv_weight
+        if wt > 0 and hasattr(type(self.model), "tv_loss"):
+            return wt * self.model.apply(params, method=type(self.model).tv_loss)
         return 0.0
 
     # ---- random-pose guidance steps (CLIP mode) ---------------------------
@@ -322,7 +334,10 @@ class NeRFTrainer(Trainer):
             meter.update(img, gt)
             if ssim_meter is not None:
                 ssim_meter.update(img, gt)
-            self._save_image(os.path.join(out_dir, f"{self.name}_{self.epoch:04d}_{i:04d}.png"), img)
+            self._save_image(
+                os.path.join(out_dir, f"{self.name}_{self.epoch:04d}_{i:04d}.png"),
+                self._export_color(img),
+            )
         result = {"psnr": meter.measure()}
         report = meter.report()
         if ssim_meter is not None:
@@ -343,6 +358,7 @@ class NeRFTrainer(Trainer):
             img, depth = self.render_frame(
                 dataset.poses[i], dataset.intrinsics, dataset.H, dataset.W
             )
+            img = self._export_color(img)
             frames.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
             self._save_image(os.path.join(out_dir, f"{self.name}_{i:04d}_rgb.png"), img)
         path = os.path.join(out_dir, f"{self.name}.mp4")
@@ -370,6 +386,17 @@ class NeRFTrainer(Trainer):
                 except Exception as e:
                     self.log(f"video export failed ({e}); frames saved as PNG")
         return out_dir
+
+    def _export_color(self, img: np.ndarray) -> np.ndarray:
+        """Honor --color_space at export: a model trained on linear
+        images predicts linear radiance; convert for PNG/video
+        (nerf/utils.py:691-713). Metrics stay in the training space,
+        like the reference."""
+        if self.train_cfg.color_space == "linear":
+            from ngp_tpu.utils.color import linear_to_srgb_np
+
+            return linear_to_srgb_np(img)
+        return img
 
     @staticmethod
     def _save_image(path: str, img: np.ndarray):
