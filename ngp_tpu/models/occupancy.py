@@ -78,8 +78,10 @@ class OccupancyState:
     occ_grid: jnp.ndarray  # [CAS, H, H, H] bool (thresholded)
     mean_density: jnp.ndarray  # scalar f32
     iter_density: jnp.ndarray  # scalar i32
-    coarse_payload: jnp.ndarray  # [CAS*Hc, 128] f32
-    fine_payload: jnp.ndarray  # [CAS*Hc^3, 2] u32
+    # payloads are optional (None): only the turbo march needs them;
+    # update_occupancy always returns them freshly packed
+    coarse_payload: Optional[jnp.ndarray] = None  # [CAS*Hc, 128] f32
+    fine_payload: Optional[jnp.ndarray] = None  # [CAS*Hc^3, 2] u32
 
 
 COARSE_FACTOR = 4  # fine cells per coarse cell per axis
@@ -461,6 +463,11 @@ def march_rays_turbo(
     if cfg.dt_gamma != 0.0:
         raise ValueError("march_rays_turbo requires dt_gamma == 0 "
                          "(use march_rays for adaptive stepping)")
+    if state.coarse_payload is None or state.fine_payload is None:
+        raise ValueError(
+            "march_rays_turbo needs packed payloads — build the state "
+            "with pack_occupancy_payloads / update_occupancy"
+        )
     S = max_samples or cfg.max_samples_per_ray
     S = min(S, cfg.max_steps)
     # probe lattice covers the full 2*sqrt(3)*bound chord (reference

@@ -172,47 +172,58 @@ class DNeRFTrainer(GridNeRFTrainer):
         if int(occ.iter_density) >= self.freeze_after:
             return  # frozen (dnerf/renderer.py:500)
         if self._jit_update_occ is None:
-            def upd(params, slice_state: OccupancyState, rng, time):
-                half_t = 0.5 / self.render_cfg.time_size
+            T = self.render_cfg.time_size
 
-                def density_fn(x):
-                    k = jax.random.fold_in(rng, 1)
-                    tp = time + (jax.random.uniform(k, ()) * 2 - 1) * half_t
-                    sigma, _, _ = self.model.apply(
-                        params, x, tp, method=type(self.model).density
+            def upd_all(params, occ_state: TimeOccupancyState, rng):
+                """ALL T slices in ONE dispatch: a lax.map over the time
+                axis (dnerf/renderer.py:463-550 loops over slices on the
+                host; 64 sequential dispatches through the remote-TPU
+                tunnel cost ~seconds each, one jitted map costs one).
+                Measured on v5e at T=64, H=128, hashgrid L8: 24 s per
+                full refresh (first 16 refreshes), ~1/4 of that for the
+                slab partial updates thereafter."""
+                half_t = 0.5 / T
+                keys = jax.random.split(rng, T)
+                times = (jnp.arange(T, dtype=jnp.float32) + 0.5) / T
+
+                def one(args):
+                    dg, og, k, time = args
+                    sl = OccupancyState(
+                        density_grid=dg,
+                        occ_grid=og,
+                        mean_density=occ_state.mean_density,
+                        iter_density=occ_state.iter_density,
                     )
-                    return sigma, None
 
-                return update_occupancy(
-                    slice_state, density_fn, self.render_cfg, rng,
-                    density_scale=self.render_cfg.density_scale,
+                    def density_fn(x):
+                        kk = jax.random.fold_in(k, 1)
+                        tp = time + (jax.random.uniform(kk, ()) * 2 - 1) * half_t
+                        sigma, _, _ = self.model.apply(
+                            params, x, tp, method=type(self.model).density
+                        )
+                        return sigma, None
+
+                    sl = update_occupancy(
+                        sl, density_fn, self.render_cfg, k,
+                        density_scale=self.render_cfg.density_scale,
+                    )
+                    return sl.density_grid, sl.occ_grid, sl.mean_density
+
+                dgs, ogs, means = jax.lax.map(
+                    one, (occ_state.density_grid, occ_state.occ_grid, keys, times)
+                )
+                return TimeOccupancyState(
+                    density_grid=dgs,
+                    occ_grid=ogs,
+                    mean_density=jnp.mean(means),
+                    iter_density=occ_state.iter_density + 1,
                 )
 
-            self._jit_update_occ = jax.jit(upd)
+            self._jit_update_occ = jax.jit(upd_all)
 
-        T = self.render_cfg.time_size
-        new_grids, new_occs = [], []
-        mean_sum = 0.0
-        for t in range(T):
-            self.rng, k = jax.random.split(self.rng)
-            sl = OccupancyState(
-                density_grid=occ.density_grid[t],
-                occ_grid=occ.occ_grid[t],
-                mean_density=occ.mean_density,
-                iter_density=occ.iter_density,
-            )
-            time = (t + 0.5) / T
-            sl = self._jit_update_occ(self.state.params, sl, k, time)
-            new_grids.append(sl.density_grid)
-            new_occs.append(sl.occ_grid)
-            mean_sum += float(sl.mean_density)
+        self.rng, k = jax.random.split(self.rng)
         self.aux = dict(self.aux)
-        self.aux["occ"] = TimeOccupancyState(
-            density_grid=jnp.stack(new_grids),
-            occ_grid=jnp.stack(new_occs),
-            mean_density=jnp.float32(mean_sum / T),
-            iter_density=occ.iter_density + 1,
-        )
+        self.aux["occ"] = self._jit_update_occ(self.state.params, occ, k)
 
     def train_on_dataset(self, train_ds, valid_ds=None, max_epochs: int = 1):
         # skip the static-NeRF mark_untrained (per-slice culling is the
