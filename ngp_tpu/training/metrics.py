@@ -109,23 +109,51 @@ class SSIMMeter(_MeterBase):
 
 
 class LPIPSMeter(_MeterBase):
-    """API-parity stub: LPIPS needs pretrained AlexNet/VGG weights which
-    cannot be downloaded in this environment (zero egress). Pass a local
-    ``weights_path`` (torch .pth) to enable; otherwise update() raises."""
+    """LPIPS distance meter (reference nerf/utils.py:280-314), running a
+    JAX AlexNet-LPIPS (ngp_tpu.training.lpips). Pretrained weights
+    cannot be downloaded in this image (zero egress): pass a local
+    ``weights_path`` (torch .pth — lpips package or torchvision+lins
+    layout) or pre-converted ``params``; otherwise update() raises."""
 
-    def __init__(self, net: str = "alex", weights_path: Optional[str] = None):
+    def __init__(self, net: str = "alex", weights_path: Optional[str] = None,
+                 params=None):
         super().__init__()
+        if net != "alex":
+            raise ValueError("only the 'alex' backbone is implemented")
         self.net = net
         self.weights_path = weights_path
+        self._params = params
+        self._fn = None
 
     def name(self):
         return f"LPIPS ({self.net})"
 
+    def _ensure(self):
+        if self._fn is not None:
+            return
+        from ngp_tpu.training.lpips import load_torch_weights, lpips
+
+        if self._params is None:
+            if self.weights_path is None:
+                raise RuntimeError(
+                    "LPIPS requires pretrained perceptual-network weights; "
+                    "provide weights_path= or params= to LPIPSMeter (no "
+                    "network access in this image)."
+                )
+            self._params = load_torch_weights(self.weights_path)
+        import jax
+
+        self._fn = jax.jit(lambda x, y: lpips(self._params, x, y))
+
     def update(self, preds, truths):
-        raise NotImplementedError(
-            "LPIPS requires pretrained perceptual-network weights; provide "
-            "weights_path= to LPIPSMeter (no network access in this image)."
-        )
+        self._ensure()
+        p = jnp.asarray(preds, jnp.float32)
+        t = jnp.asarray(truths, jnp.float32)
+        if p.ndim == 3:
+            p, t = p[None], t[None]
+        vals = self._fn(p, t)
+        self.V += float(jnp.sum(vals))
+        self.N += int(vals.shape[0])
 
     def report(self):
         return f"LPIPS ({self.net}) = {self.measure():.6f}"

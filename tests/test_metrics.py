@@ -2,6 +2,7 @@
 meter protocol."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ngp_tpu.training.metrics import PSNRMeter, SSIMMeter, psnr, ssim
@@ -74,3 +75,93 @@ def test_meter_protocol():
     s = SSIMMeter()
     s.update(np.stack([a, a]), np.stack([a, a]))  # batched [B, H, W, C]
     assert s.N == 2 and abs(s.measure() - 1.0) < 1e-5
+
+
+class TestLPIPS:
+    """JAX AlexNet-LPIPS (ngp_tpu.training.lpips) — architecture and
+    metric properties with random weights (pretrained weights cannot be
+    downloaded in this image); torch-checkpoint conversion round-trip."""
+
+    def _params(self):
+        import jax
+        from ngp_tpu.training.lpips import random_params
+
+        return random_params(jax.random.PRNGKey(0))
+
+    def test_identity_zero_and_positive(self):
+        import jax
+        import jax.numpy as jnp
+        from ngp_tpu.training.lpips import lpips
+
+        params = self._params()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
+        y = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
+        d_xx = np.asarray(lpips(params, x, x))
+        d_xy = np.asarray(lpips(params, x, y))
+        np.testing.assert_allclose(d_xx, 0.0, atol=1e-6)
+        assert (d_xy > 1e-4).all()
+
+    def test_differentiable_and_jittable(self):
+        import jax
+        import jax.numpy as jnp
+        from ngp_tpu.training.lpips import lpips
+
+        params = self._params()
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+        y = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+        g = jax.jit(jax.grad(lambda a: lpips(params, a, y).sum()))(x)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_feature_shapes_match_alexnet(self):
+        import jax.numpy as jnp
+        from ngp_tpu.training.lpips import _features, _CHANNELS
+
+        params = self._params()
+        taps = _features(params, jnp.zeros((1, 64, 64, 3)))
+        assert tuple(t.shape[-1] for t in taps) == _CHANNELS
+        # torchvision AlexNet spatial sizes for 64x64 input: 15, 7, 3, 3, 3
+        assert [t.shape[1] for t in taps] == [15, 7, 3, 3, 3]
+
+    def test_torch_checkpoint_conversion(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from ngp_tpu.training.lpips import _ALEX, load_torch_weights
+
+        sd = {}
+        c_in = 3
+        tv_idx = (0, 3, 6, 8, 10)
+        g = torch.Generator().manual_seed(0)
+        for i, (c_out, k, _, _, _) in enumerate(_ALEX):
+            sd[f"features.{tv_idx[i]}.weight"] = torch.randn(c_out, c_in, k, k, generator=g)
+            sd[f"features.{tv_idx[i]}.bias"] = torch.randn(c_out, generator=g)
+            sd[f"lin{i}.model.1.weight"] = torch.rand(1, c_out, 1, 1, generator=g)
+            c_in = c_out
+        path = str(tmp_path / "lpips.pth")
+        torch.save(sd, path)
+        params = load_torch_weights(path)
+        assert params["conv0_w"].shape == (11, 11, 3, 64)
+        assert params["lin4_w"].shape == (256,)
+        np.testing.assert_allclose(
+            params["conv1_w"],
+            np.transpose(sd["features.3.weight"].numpy(), (2, 3, 1, 0)),
+        )
+
+    def test_meter_with_params(self):
+        from ngp_tpu.training.metrics import LPIPSMeter
+
+        m = LPIPSMeter(params=self._params())
+        rng = np.random.default_rng(2)
+        a = rng.random((64, 64, 3), np.float32)
+        m.update(a, a)
+        assert m.measure() == pytest.approx(0.0, abs=1e-6)
+        m.update(a, rng.random((64, 64, 3), np.float32))
+        assert m.measure() > 0
+
+    def test_meter_raises_without_weights(self):
+        from ngp_tpu.training.metrics import LPIPSMeter
+
+        m = LPIPSMeter()
+        with pytest.raises(RuntimeError):
+            m.update(np.zeros((8, 8, 3)), np.zeros((8, 8, 3)))
