@@ -82,6 +82,7 @@ def main():
     fused = model.finalize(params)
     trainer.state = trainer.state.replace(params=fused, ema_params=None)
     trainer._jit_render_chunk = None
+    trainer._jit_render_chunks = {}
     if test_ds.has_gt:
         res = trainer.evaluate(test_ds, max_frames=2)
         trainer.log(f"finalized full-rank: PSNR {res['psnr']:.2f}")

@@ -65,7 +65,8 @@ class NeRFTrainer(Trainer):
         self.render_cfg = render_cfg
         self.train_cfg = train_cfg
         self.criterion = criterion
-        self._jit_render_chunk = None
+        self._jit_render_chunk = None  # (dnerf's own frame renderer)
+        self._jit_render_chunks = {}  # keyed by (chunk, H, W)
         self.use_grid = False  # switched on by the occupancy-grid subclass
         # rays per chunk for staged full-frame rendering (the
         # reference's --max_ray_batch); 16384 suits v5e VMEM
@@ -250,16 +251,22 @@ class NeRFTrainer(Trainer):
 
     # ---- eval / inference -------------------------------------------------
 
-    def _chunk_renderer(self, chunk: int):
-        """Whole-frame renderer: lax.map over ray chunks INSIDE one jit
-        call (a host-side chunk loop pays a tunnel round-trip per chunk
-        on remote TPUs — ~1 s each; one dispatch renders the frame with
-        peak memory of a single chunk)."""
-        if self._jit_render_chunk is None:
+    def _chunk_renderer(self, chunk: int, H: int, W: int):
+        """Whole-frame renderer: lax.map over PIXEL-INDEX chunks inside
+        one jit call. Rays are generated ON DEVICE (rays_from_indices)
+        so the host uploads 4 bytes/ray instead of 24 (ray gen for a
+        640 K-ray frame costs ~0.4 s of single-core numpy plus a 15 MB
+        tunnel upload — the index form is ~2.5 MB and free on device).
+        A host-side chunk loop would pay a tunnel round-trip per chunk
+        (~1 s each); one dispatch renders the frame with peak memory of
+        a single chunk."""
+        key = (chunk, H, W)
+        if key not in self._jit_render_chunks:
             @jax.jit
-            def render_frame_fn(params, aux, ro_chunks, rd_chunks):
-                def one(args):
-                    ro, rd = args
+            def render_frame_fn(params, aux, pose, intrinsics, inds_chunks):
+                def one(inds):
+                    rays = rays_from_indices(pose, intrinsics, H, W, inds)
+                    ro, rd = rays["rays_o"], rays["rays_d"]
                     if self.mesh is not None:
                         # DP eval: rays sharded over the mesh, params
                         # replicated (the reference's eval-loop DDP
@@ -272,12 +279,21 @@ class NeRFTrainer(Trainer):
                     out = self.render_batch(
                         params, ro, rd, bg_color=jnp.float32(1.0), aux=aux
                     )
-                    return out["image"], out["depth"]
+                    # quantized transfer (10 MB/frame f32 at 800x800
+                    # through the remote-TPU tunnel): u8 for the image —
+                    # on [0,1] its uniform step (err^2 ~1.3e-6) beats
+                    # bf16's relative step and it's 4x smaller than f32
+                    # — bf16 for unbounded depth
+                    img8 = jnp.round(jnp.clip(out["image"], 0.0, 1.0) * 255.0)
+                    return (
+                        img8.astype(jnp.uint8),
+                        out["depth"].astype(jnp.bfloat16),
+                    )
 
-                return jax.lax.map(one, (ro_chunks, rd_chunks))
+                return jax.lax.map(one, inds_chunks)
 
-            self._jit_render_chunk = render_frame_fn
-        return self._jit_render_chunk
+            self._jit_render_chunks[key] = render_frame_fn
+        return self._jit_render_chunks[key]
 
     def eval_params(self):
         return (
@@ -294,23 +310,88 @@ class NeRFTrainer(Trainer):
         self.ensure_initialized()
         chunk = chunk or self.max_ray_batch
         params = params if params is not None else self.eval_params()
-        from ngp_tpu.data.raysampler import full_frame_rays_np
-
-        rays = full_frame_rays_np(pose, intrinsics, H, W)
-        ro = rays["rays_o"]
-        rd = rays["rays_d"]
         n = H * W
-        pad = (-n) % chunk
-        if pad:
-            ro = np.concatenate([ro, np.tile(ro[-1:], (pad, 1))])
-            rd = np.concatenate([rd, np.tile(rd[-1:], (pad, 1))])
-        render = self._chunk_renderer(chunk)
-        ro_c = jnp.asarray(ro.reshape(-1, chunk, 3))
-        rd_c = jnp.asarray(rd.reshape(-1, chunk, 3))
-        img, dep = render(params, self.aux, ro_c, rd_c)
-        image = np.asarray(img).reshape(-1, 3)[:n].reshape(H, W, 3)
-        depth = np.asarray(dep).reshape(-1)[:n].reshape(H, W)
-        return image, depth
+        # shuffle rays across the frame so each chunk sees the
+        # FRAME-AVERAGE occupancy: coherent pixel blocks alternate
+        # between all-object (overflowing a shared sample budget) and
+        # all-background (wasting it); a fixed random interleave makes
+        # the turbo path's global mean-samples budget safe at a
+        # fraction of the worst case — the TPU-shaped equivalent of the
+        # reference's alive-ray compaction (raymarching.cu:700-914)
+        sel = self._frame_perm(n)
+        # pixel-bbox cull: rays outside the projected AABB composite to
+        # pure background and never reach the device (the reference
+        # culls per-step with alive compaction; at frame granularity
+        # this is the same work-avoidance). Disabled when a background
+        # net must render on misses.
+        if self.render_cfg.bg_radius <= 0:
+            bbox = self._project_aabb_bbox(pose, intrinsics, H, W)
+            if bbox is not None:
+                r0, r1, c0, c1 = bbox
+                rows, cols = sel // W, sel % W
+                keep = (rows >= r0) & (rows <= r1) & (cols >= c0) & (cols <= c1)
+                sel = sel[keep]
+        image = np.ones((n, 3), np.float32)  # bg_color = 1.0 (below)
+        depth = np.zeros((n,), np.float32)
+        m = sel.size
+        if m:
+            # bucket the chunk COUNT (pow2 up to 8, then multiples of
+            # 8): the jitted lax.map renderer compiles per count, so
+            # buckets bound recompiles while padding <= ~15%
+            C = max(1, -(-m // chunk))
+            C = 1 << (C - 1).bit_length() if C <= 8 else -(-C // 8) * 8
+            pad = C * chunk - m
+            inds = np.concatenate([sel, np.full(pad, sel[-1])]) if pad else sel
+            render = self._chunk_renderer(chunk, H, W)
+            img, dep = render(
+                params, self.aux,
+                jnp.asarray(np.asarray(pose, np.float32)),
+                jnp.asarray(np.asarray(intrinsics, np.float32)),
+                jnp.asarray(inds.reshape(C, chunk).astype(np.int32)),
+            )
+            image[sel] = (
+                np.asarray(img).reshape(-1, 3)[:m].astype(np.float32) / 255.0
+            )
+            depth[sel] = np.asarray(dep).astype(np.float32).reshape(-1)[:m]
+        return image.reshape(H, W, 3), depth.reshape(H, W)
+
+    def _project_aabb_bbox(self, pose, intrinsics, H: int, W: int):
+        """Conservative pixel bbox of the scene AABB: project its 8
+        corners with the rays_from_indices camera convention; the box's
+        image is inside the hull of the projected corners, so its pixel
+        bbox (+1 px margin) bounds every hitting ray. Returns None (no
+        cull) when the camera is inside the box or a corner is behind
+        the camera."""
+        pose = np.asarray(pose, np.float32)
+        fx, fy, cx, cy = np.asarray(intrinsics, np.float32)
+        aabb = np.asarray(self.render_cfg.aabb, np.float32)
+        o = pose[:3, 3]
+        if np.all(o >= aabb[:3]) and np.all(o <= aabb[3:]):
+            return None
+        corners = np.array(
+            [[aabb[3 * (i & 1)], aabb[1 + 3 * ((i >> 1) & 1)], aabb[2 + 3 * ((i >> 2) & 1)]]
+             for i in range(8)], np.float32,
+        )
+        cam = (corners - o) @ pose[:3, :3]  # R^T (p - t)
+        if np.any(cam[:, 2] <= 1e-6):
+            return None
+        col = cam[:, 0] / cam[:, 2] * fx + cx
+        row = cam[:, 1] / cam[:, 2] * fy + cy
+        r0 = max(0, int(np.floor(row.min())) - 1)
+        r1 = min(H - 1, int(np.ceil(row.max())) + 1)
+        c0 = max(0, int(np.floor(col.min())) - 1)
+        c1 = min(W - 1, int(np.ceil(col.max())) + 1)
+        if r0 > r1 or c0 > c1:
+            return (0, -1, 0, -1)  # fully off-screen
+        return (r0, r1, c0, c1)
+
+    _frame_perms: dict = {}
+
+    @classmethod
+    def _frame_perm(cls, n: int) -> np.ndarray:
+        if n not in cls._frame_perms:
+            cls._frame_perms[n] = np.random.default_rng(1234).permutation(n)
+        return cls._frame_perms[n]
 
     def evaluate(
         self, dataset: NeRFDataset, max_frames: Optional[int] = None,

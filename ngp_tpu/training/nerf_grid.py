@@ -35,6 +35,11 @@ class GridNeRFTrainer(NeRFTrainer):
         # rendering (trades a little PSNR for frame rate; None = the
         # training budget)
         self.eval_max_samples: Optional[int] = None
+        # turbo eval: GLOBAL mean-samples-per-ray budget for frame
+        # rendering. render_frame interleaves the frame's rays so each
+        # chunk sees frame-average occupancy, which makes a small mean
+        # budget safe (None = full no-drop budget)
+        self.eval_mean_samples: Optional[int] = 8
 
     def init_aux(self) -> Any:
         return {"occ": init_occupancy(self.render_cfg)}
@@ -48,13 +53,14 @@ class GridNeRFTrainer(NeRFTrainer):
         # (training passes rng+perturb)
         max_samples = None if perturb else self.eval_max_samples
         if self.render_cfg.turbo:
-            # eval batches are spatially COHERENT pixel chunks — object
-            # chunks far exceed the mean-samples budget sized for random
-            # training batches, so eval uses the full (no-drop) budget
+            # eval budget: eval_mean_samples per ray on average (safe —
+            # render_frame shuffles rays so chunks are frame-average);
+            # None falls back to the full no-drop budget
             budget = None
             if not perturb:
                 S = max_samples or self.render_cfg.max_samples_per_ray
-                budget = rays_o.shape[0] * S
+                ems = self.eval_mean_samples
+                budget = rays_o.shape[0] * (S if ems is None else min(ems, S))
             return render_rays_grid_turbo(
                 density_fn, color_fn, rays_o, rays_d, occ, self.render_cfg,
                 rng=rng, perturb=perturb, bg_color=bg_color, bg_fn=bg_fn,

@@ -201,6 +201,7 @@ class TensoRFTrainer(GridNeRFTrainer):
         )
         self._jit_train_step = None
         self._jit_render_chunk = None
+        self._jit_render_chunks = {}
         self._jit_update_occ = None
         self.ensure_initialized()
 
