@@ -624,6 +624,19 @@ class NeRFTrainer(Trainer):
             (n_frames, ERROR_MAP_SIZE * ERROR_MAP_SIZE), jnp.float32
         )
 
+    def eval_metric(self, valid) -> float:
+        """Best-checkpoint metric for rendering workloads: -PSNR over
+        the validation split (nerf/utils.py:1053-1073 keys best on the
+        eval result; lower is better here). Accepts a NeRFDataset —
+        both Trainer.train(valid_loader=ds) and train_on_dataset go
+        through this one contract."""
+        if not isinstance(valid, NeRFDataset):
+            raise TypeError(
+                "NeRF-family trainers evaluate on a NeRFDataset split "
+                f"(got {type(valid).__name__})"
+            )
+        return -self.evaluate(valid)["psnr"]
+
     def train_on_dataset(
         self, train_ds: NeRFDataset, valid_ds: Optional[NeRFDataset] = None, max_epochs: int = 1
     ):
@@ -645,8 +658,7 @@ class NeRFTrainer(Trainer):
                 self.save_checkpoint()
                 self._last_ckpt_time = _time.time()
             if valid_ds is not None and epoch % self.eval_interval == 0:
-                res = self.evaluate(valid_ds)
-                metric = -res["psnr"]
+                metric = self.eval_metric(valid_ds)
                 if self.stats["best_loss"] is None or metric < self.stats["best_loss"]:
                     self.stats["best_loss"] = metric
                     self.save_checkpoint(best=True)

@@ -15,8 +15,13 @@ Subclasses implement:
   - ``init_state(rng) -> TrainState``
   - ``train_step(state, aux, batch, rng) -> (state, aux, metrics_dict)``
     (must be jit-compatible; Trainer jits it once)
-  - ``eval_step(state, aux, batch) -> outputs dict``
-  - optionally ``post_epoch`` hooks.
+  - ONE evaluation contract: either ``eval_step(state, aux, batch) ->
+    {"loss": ...}`` (batch-loss workloads, e.g. SDF) or an
+    ``eval_metric(valid)`` override (rendering workloads key best
+    checkpoints on -PSNR via their ``evaluate``). ``train`` and the
+    NeRF-family ``train_on_dataset`` both select best checkpoints
+    through ``eval_metric`` — a single best-path contract
+    (nerf/utils.py:1053-1073).
 """
 
 from __future__ import annotations
@@ -106,7 +111,17 @@ class Trainer:
         raise NotImplementedError
 
     def eval_step(self, state, aux, batch):
-        raise NotImplementedError
+        raise NotImplementedError(
+            "implement eval_step (batch-loss eval) or override "
+            "eval_metric (e.g. -PSNR via evaluate) for best-checkpoint "
+            "selection"
+        )
+
+    def eval_metric(self, valid) -> float:
+        """Best-checkpoint selection metric (LOWER is better) from the
+        validation input. Default: mean eval_step loss over a batch
+        iterable. Rendering trainers override to -PSNR."""
+        return self.evaluate_one_epoch(valid)
 
     def on_step_begin(self):
         """Hook called before every train step (host-side; used by the
@@ -172,9 +187,12 @@ class Trainer:
                 self.save_checkpoint()
                 self._last_ckpt_time = time.time()
             if valid_loader is not None and epoch % self.eval_interval == 0:
-                loss = self.evaluate_one_epoch(valid_loader)
-                if self.stats["best_loss"] is None or loss < self.stats["best_loss"]:
-                    self.stats["best_loss"] = loss
+                metric = self.eval_metric(valid_loader)
+                if (
+                    self.stats["best_loss"] is None
+                    or metric < self.stats["best_loss"]
+                ):
+                    self.stats["best_loss"] = metric
                     self.save_checkpoint(best=True)
 
     def train_one_epoch(self, loader: Iterable):

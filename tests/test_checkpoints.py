@@ -50,3 +50,29 @@ def test_profile_steps_writes_trace(tmp_path):
     # the trace directory must contain a plugins/profile capture
     found = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
     assert found, f"no xplane trace under {logdir}"
+
+
+def test_eval_metric_unified_contract(tmp_path):
+    """One best-checkpoint contract (VERDICT weak #6/#8): the base
+    Trainer.train(valid_loader=dataset) and train_on_dataset both key
+    best on NeRFTrainer.eval_metric = -PSNR."""
+    import pytest
+    from ngp_tpu.config import NetworkConfig, RenderConfig, TrainConfig
+    from ngp_tpu.data.nerf_dataset import NeRFDataset
+    from ngp_tpu.data.synthetic import make_synthetic_dataset
+    from ngp_tpu.models.nerf import NeRFNetwork
+    from ngp_tpu.training.nerf import NeRFTrainer
+
+    root = str(tmp_path / "synth")
+    make_synthetic_dataset(root, n_train=2, n_val=1, n_test=1, H=24, W=24, num_steps=64)
+    ds = NeRFDataset(root, split="val", scale=0.8)
+    render_cfg = RenderConfig(bound=1.0, min_near=0.05, num_steps=16, upsample_steps=0)
+    net_cfg = NetworkConfig(num_levels=2, level_dim=2, log2_hashmap_size=10, use_bf16=False)
+    train_cfg = TrainConfig(iters=4, num_rays=64, workspace=str(tmp_path / "ws"))
+    model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
+    tr = NeRFTrainer(model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False)
+    tr.ensure_initialized()
+    m = tr.eval_metric(ds)
+    assert m == -tr.evaluate(ds)["psnr"]
+    with pytest.raises(TypeError):
+        tr.eval_metric([{"not": "a dataset"}])
