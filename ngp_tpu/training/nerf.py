@@ -67,6 +67,9 @@ class NeRFTrainer(Trainer):
         self.criterion = criterion
         self._jit_render_chunk = None  # (dnerf's own frame renderer)
         self._jit_render_chunks = {}  # keyed by (chunk, H, W)
+        # inference crop box [xmin,ymin,zmin,xmax,ymax,zmax] or None
+        # (GUI aabb_infer sliders, nerf/gui.py:316-338)
+        self.aabb_infer = None
         self.use_grid = False  # switched on by the occupancy-grid subclass
         # rays per chunk for staged full-frame rendering (the
         # reference's --max_ray_batch); 16384 suits v5e VMEM
@@ -106,7 +109,8 @@ class NeRFTrainer(Trainer):
         return density_fn, color_fn, bg_fn
 
     def render_batch(
-        self, params, rays_o, rays_d, rng=None, perturb=False, bg_color=None, aux=None
+        self, params, rays_o, rays_d, rng=None, perturb=False, bg_color=None,
+        aux=None, aabb=None,
     ) -> Dict[str, jnp.ndarray]:
         density_fn, color_fn, bg_fn = self._fns(params)
         return render_rays(
@@ -119,6 +123,7 @@ class NeRFTrainer(Trainer):
             perturb=perturb,
             bg_color=bg_color,
             bg_fn=bg_fn,
+            aabb=aabb,
         )
 
     # ---- train -----------------------------------------------------------
@@ -263,7 +268,7 @@ class NeRFTrainer(Trainer):
         key = (chunk, H, W)
         if key not in self._jit_render_chunks:
             @jax.jit
-            def render_frame_fn(params, aux, pose, intrinsics, inds_chunks):
+            def render_frame_fn(params, aux, pose, intrinsics, inds_chunks, aabb):
                 def one(inds):
                     rays = rays_from_indices(pose, intrinsics, H, W, inds)
                     ro, rd = rays["rays_o"], rays["rays_d"]
@@ -277,7 +282,8 @@ class NeRFTrainer(Trainer):
                         ro = jax.lax.with_sharding_constraint(ro, ns)
                         rd = jax.lax.with_sharding_constraint(rd, ns)
                     out = self.render_batch(
-                        params, ro, rd, bg_color=jnp.float32(1.0), aux=aux
+                        params, ro, rd, bg_color=jnp.float32(1.0), aux=aux,
+                        aabb=aabb,
                     )
                     # quantized transfer (10 MB/frame f32 at 800x800
                     # through the remote-TPU tunnel): u8 for the image —
@@ -310,6 +316,14 @@ class NeRFTrainer(Trainer):
         self.ensure_initialized()
         chunk = chunk or self.max_ray_batch
         params = params if params is not None else self.eval_params()
+        # inference-time crop box (GUI aabb_infer sliders,
+        # nerf/gui.py:316-338): a TRACED argument of the jitted frame
+        # renderer, so slider moves never recompile
+        aabb_eff = (
+            np.asarray(self.aabb_infer, np.float32)
+            if self.aabb_infer is not None
+            else np.asarray(self.render_cfg.aabb, np.float32)
+        )
         n = H * W
         # shuffle rays across the frame so each chunk sees the
         # FRAME-AVERAGE occupancy: coherent pixel blocks alternate
@@ -325,7 +339,7 @@ class NeRFTrainer(Trainer):
         # this is the same work-avoidance). Disabled when a background
         # net must render on misses.
         if self.render_cfg.bg_radius <= 0:
-            bbox = self._project_aabb_bbox(pose, intrinsics, H, W)
+            bbox = self._project_aabb_bbox(pose, intrinsics, H, W, aabb_eff)
             if bbox is not None:
                 r0, r1, c0, c1 = bbox
                 rows, cols = sel // W, sel % W
@@ -348,6 +362,7 @@ class NeRFTrainer(Trainer):
                 jnp.asarray(np.asarray(pose, np.float32)),
                 jnp.asarray(np.asarray(intrinsics, np.float32)),
                 jnp.asarray(inds.reshape(C, chunk).astype(np.int32)),
+                jnp.asarray(aabb_eff),
             )
             image[sel] = (
                 np.asarray(img).reshape(-1, 3)[:m].astype(np.float32) / 255.0
@@ -355,7 +370,7 @@ class NeRFTrainer(Trainer):
             depth[sel] = np.asarray(dep).astype(np.float32).reshape(-1)[:m]
         return image.reshape(H, W, 3), depth.reshape(H, W)
 
-    def _project_aabb_bbox(self, pose, intrinsics, H: int, W: int):
+    def _project_aabb_bbox(self, pose, intrinsics, H: int, W: int, aabb=None):
         """Conservative pixel bbox of the scene AABB: project its 8
         corners with the rays_from_indices camera convention; the box's
         image is inside the hull of the projected corners, so its pixel
@@ -364,7 +379,8 @@ class NeRFTrainer(Trainer):
         the camera."""
         pose = np.asarray(pose, np.float32)
         fx, fy, cx, cy = np.asarray(intrinsics, np.float32)
-        aabb = np.asarray(self.render_cfg.aabb, np.float32)
+        if aabb is None:
+            aabb = np.asarray(self.render_cfg.aabb, np.float32)
         o = pose[:3, 3]
         if np.all(o >= aabb[:3]) and np.all(o <= aabb[3:]):
             return None

@@ -45,7 +45,8 @@ class GridNeRFTrainer(NeRFTrainer):
         return {"occ": init_occupancy(self.render_cfg)}
 
     def render_batch(
-        self, params, rays_o, rays_d, rng=None, perturb=False, bg_color=None, aux=None
+        self, params, rays_o, rays_d, rng=None, perturb=False, bg_color=None,
+        aux=None, aabb=None,
     ):
         density_fn, color_fn, bg_fn = self._fns(params)
         occ = aux["occ"] if aux is not None else init_occupancy(self.render_cfg)
@@ -64,7 +65,7 @@ class GridNeRFTrainer(NeRFTrainer):
             return render_rays_grid_turbo(
                 density_fn, color_fn, rays_o, rays_d, occ, self.render_cfg,
                 rng=rng, perturb=perturb, bg_color=bg_color, bg_fn=bg_fn,
-                max_samples=max_samples, budget=budget,
+                max_samples=max_samples, budget=budget, aabb=aabb,
             )
         return render_rays_grid(
             density_fn,
@@ -78,6 +79,7 @@ class GridNeRFTrainer(NeRFTrainer):
             bg_color=bg_color,
             bg_fn=bg_fn,
             max_samples=max_samples,
+            aabb=aabb,
         )
 
     # ---- occupancy maintenance -------------------------------------------

@@ -111,11 +111,68 @@ class InteractiveSession:
         # scene time for dynamic (D-NeRF) trainers; render_frame
         # receives it when the trainer supports a `time` kwarg
         self.time = 0.0
+        self.mode = "rgb"  # or 'depth' (GUI mode combo, gui.py:302-309)
         import inspect
 
         self._supports_time = "time" in inspect.signature(
             trainer.render_frame
         ).parameters
+        # widget requests queued by UI threads, executed on the main
+        # (TPU-owning) loop thread via service_requests()
+        self._requests: list = []
+
+    # ---- widget surface (nerf/gui.py:302-338 parity) ----------------------
+
+    def set_aabb_axis(self, axis: int, frac: float):
+        """Live 6-dof inference crop: slider value in [-1, 1] scaled to
+        the scene bound, written to trainer.aabb_infer (a traced render
+        argument — no recompile). Layout [xmin,ymin,zmin,xmax,ymax,zmax]
+        (nerf/gui.py:316-338)."""
+        t = self.trainer
+        bound = t.render_cfg.bound
+        aabb = np.array(
+            t.aabb_infer if t.aabb_infer is not None else t.render_cfg.aabb,
+            np.float32,
+        )
+        aabb[axis] = float(np.clip(frac, -1.0, 1.0)) * bound
+        # keep an nonempty box (min strictly below max per axis)
+        eps = 1e-3 * bound
+        for a in range(3):
+            if aabb[a] > aabb[a + 3] - eps:
+                if axis == a:
+                    aabb[a] = aabb[a + 3] - eps
+                else:
+                    aabb[a + 3] = aabb[a] + eps
+        t.aabb_infer = aabb
+        self._accum_pose = None  # crop change invalidates SPP accum
+
+    def request(self, op: str, arg=None):
+        """Queue a trainer-mutating widget action (called from HTTP
+        handler threads; the TPU is driven only by the main loop)."""
+        self._requests.append((op, arg))
+
+    def service_requests(self):
+        """Execute queued widget actions on the main loop thread:
+        train toggle, save-ckpt / save-mesh buttons, density-grid
+        reset, eval sample-budget dial (nerf/gui.py:302-315)."""
+        while self._requests:
+            op, arg = self._requests.pop(0)
+            t = self.trainer
+            if op == "train":
+                if self._epoch_iter_factory is not None:
+                    self.training = not self.training
+            elif op == "save_ckpt":
+                t.save_checkpoint()
+            elif op == "save_mesh" and hasattr(t, "save_mesh"):
+                t.save_mesh()
+            elif op == "reset" and hasattr(t, "reset_extra_state"):
+                t.reset_extra_state()
+            elif op == "max_samples":
+                # static shape knob: clears the compiled renderers
+                # (one recompile; the dial trades PSNR for frame rate)
+                t.eval_max_samples = max(2, int(arg))
+                t._jit_render_chunks = {}
+            self._accum_pose = None
 
     # ---- training ---------------------------------------------------------
 
@@ -164,9 +221,13 @@ class InteractiveSession:
         rH, rW = int(camera.H / ds), int(camera.W / ds)
         intr = camera.intrinsics / ds
         if self._supports_time:
-            image, _ = self.trainer.render_frame(camera.pose, intr, rH, rW, time=self.time)
+            image, depth = self.trainer.render_frame(camera.pose, intr, rH, rW, time=self.time)
         else:
-            image, _ = self.trainer.render_frame(camera.pose, intr, rH, rW)
+            image, depth = self.trainer.render_frame(camera.pose, intr, rH, rW)
+        if self.mode == "depth":
+            # normalized-depth visualization (reference GUI 'mode'
+            # combo, nerf/gui.py:302-309)
+            image = np.repeat(depth[..., None], 3, axis=-1)
         dt = (time.perf_counter() - t0) * 1000
         # adapt downscale toward the render budget (gui.py:135-140)
         full_ms = dt * ds * ds
@@ -178,7 +239,9 @@ class InteractiveSession:
             image = cv2.resize(image, (camera.W, camera.H), interpolation=cv2.INTER_LINEAR)
 
         # accumulation key includes scene time (a scrub must reset SPP)
-        pose = np.concatenate([camera.pose.reshape(-1), [self.time]])
+        pose = np.concatenate(
+            [camera.pose.reshape(-1), [self.time, float(self.mode == "depth")]]
+        )
         if (
             spp_accumulate
             and self._accum is not None

@@ -24,9 +24,34 @@ _PAGE = """<!doctype html>
 <html><head><title>ngp_tpu viewer</title><style>
 body{margin:0;background:#111;color:#ddd;font-family:monospace}
 #hud{position:fixed;top:8px;left:8px;background:#0008;padding:6px}
+#panel{position:fixed;top:8px;right:8px;background:#0008;padding:6px;font-size:12px}
+#panel input[type=range]{width:110px;vertical-align:middle}
 img{display:block;margin:auto;cursor:grab}
 </style></head><body>
-<div id="hud">loading…</div><img id="view" width="__W__" height="__H__">
+<div id="hud">loading…</div>
+<div id="panel">
+ <b>crop (aabb_infer)</b><br>
+ <span id="sl"></span>
+ <b>render</b><br>
+ fov <input type="range" id="fov" min="20" max="120" value="60"
+  oninput="fetch('/ctl?op=fov&dx='+this.value)"><br>
+ max samples/ray <input type="range" id="ms" min="2" max="64" value="32"
+  onchange="fetch('/ctl?op=max_samples&dx='+this.value)"><br>
+ <button onclick="fetch('/ctl?op=train')">start/stop training</button>
+ <button onclick="fetch('/ctl?op=save_ckpt')">save ckpt</button><br>
+ <button onclick="fetch('/ctl?op=mode')">rgb/depth</button>
+ <button onclick="fetch('/ctl?op=save_mesh')">save mesh</button>
+ <button onclick="fetch('/ctl?op=reset')">reset grid</button>
+</div>
+<img id="view" width="__W__" height="__H__">
+<script>
+const axes=['xmin','ymin','zmin','xmax','ymax','zmax'];
+const sl=document.getElementById('sl');
+axes.forEach((a,i)=>{
+ const lo=i<3, v=lo?-100:100;
+ sl.innerHTML+=`${a} <input type=range min=-100 max=100 value=${v}
+  oninput="fetch('/ctl?op=aabb&axis=${i}&dx='+this.value)"><br>`});
+</script>
 <script>
 let drag=false,btn=0,lx=0,ly=0;
 const img=document.getElementById('view');
@@ -98,6 +123,19 @@ def serve(session, W: int = 800, H: int = 800, port: int = 7860, train: bool = T
                     # dynamic-scene time scrub ('['/']' keys; D-NeRF
                     # GUI time slider parity, dnerf/gui.py:287-293)
                     state["time"] = float(np.clip(state.get("time", 0.0) + dx, 0.0, 1.0))
+                elif op == "fov":
+                    camera.fovy = float(np.clip(dx, 10.0, 150.0))
+                elif op == "aabb":
+                    # live 6-dof crop (nerf/gui.py:316-338 aabb_infer
+                    # sliders). Traced render arg: no recompile.
+                    axis = int(q.get("axis", [0])[0])
+                    session.set_aabb_axis(axis, dx / 100.0)
+                elif op == "max_samples":
+                    session.request("max_samples", int(dx))
+                elif op == "mode":
+                    session.mode = "depth" if session.mode == "rgb" else "rgb"
+                elif op in ("train", "save_ckpt", "save_mesh", "reset"):
+                    session.request(op)
                 self._respond(200, "text/plain", b"ok")
             else:
                 self._respond(404, "text/plain", b"not found")
@@ -115,6 +153,7 @@ def serve(session, W: int = 800, H: int = 800, port: int = 7860, train: bool = T
 
     try:
         while True:
+            session.service_requests()
             stats = {}
             if train and session.training:
                 m = session.train_steps()

@@ -91,3 +91,60 @@ def test_trainer_test_video_export(tmp_path):
     assert len(pngs) == 2
     videos = [f for f in os.listdir(out_dir) if f.endswith((".mp4", ".avi"))]
     assert videos, "expected an mp4 or the MJPG AVI fallback"
+
+
+def test_widget_surface_aabb_and_requests(tmp_path):
+    """GUI widget parity (nerf/gui.py:302-338): live aabb_infer crop
+    changes the render (cropped region -> background), and queued
+    button requests execute on the main loop."""
+    from ngp_tpu.config import NetworkConfig, RenderConfig, TrainConfig
+    from ngp_tpu.data.nerf_dataset import NeRFDataset
+    from ngp_tpu.data.synthetic import make_synthetic_dataset
+    from ngp_tpu.models.nerf import NeRFNetwork
+    from ngp_tpu.training.nerf_grid import GridNeRFTrainer
+
+    root = str(tmp_path / "synth")
+    make_synthetic_dataset(root, n_train=3, n_val=1, n_test=1, H=32, W=32, num_steps=96)
+    ds = NeRFDataset(root, split="train", scale=0.8)
+    render_cfg = RenderConfig(
+        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=64,
+        max_samples_per_ray=16, grid_size=16, density_thresh=10.0,
+    )
+    net_cfg = NetworkConfig(num_levels=4, log2_hashmap_size=12, use_bf16=False)
+    train_cfg = TrainConfig(iters=40, num_rays=256, workspace=str(tmp_path / "ws"))
+    model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
+    trainer = GridNeRFTrainer(model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False)
+    sess = InteractiveSession(trainer, ds, train_budget_ms=100, render_budget_ms=100)
+    for _ in range(3):
+        sess.train_steps()
+
+    pose = ds.poses[0]
+    full, _ = trainer.render_frame(pose, ds.intrinsics, 32, 32)
+    # crop everything away: whole frame becomes background (1.0)
+    sess.set_aabb_axis(0, 0.99)  # xmin -> just under xmax
+    assert trainer.aabb_infer is not None
+    assert trainer.aabb_infer[0] < trainer.aabb_infer[3]
+    sess.set_aabb_axis(3, -0.99)  # xmax clamped above xmin: box stays valid
+    assert trainer.aabb_infer[0] < trainer.aabb_infer[3]
+    cropped, _ = trainer.render_frame(pose, ds.intrinsics, 32, 32)
+    assert np.abs(cropped - 1.0).mean() < np.abs(full - 1.0).mean()
+    # restore: full crop renders like no crop
+    trainer.aabb_infer = None
+    again, _ = trainer.render_frame(pose, ds.intrinsics, 32, 32)
+    np.testing.assert_allclose(again, full, atol=1e-6)
+
+    # queued button requests run in service_requests (main thread)
+    sess.request("save_ckpt")
+    sess.request("reset")
+    sess.request("max_samples", 8)
+    sess.service_requests()
+    assert trainer.eval_max_samples == 8
+    import os
+
+    ckpts = os.listdir(os.path.join(str(tmp_path / "ws"), "checkpoints"))
+    assert any(f.endswith(".ckpt") for f in ckpts)
+    # train toggle flips
+    was = sess.training
+    sess.request("train")
+    sess.service_requests()
+    assert sess.training != was
