@@ -56,6 +56,9 @@ def build_parser():
     parser.add_argument("--error_map", action="store_true")
     parser.add_argument("--rand_pose", type=int, default=-1)
     parser.add_argument("--synthetic", action="store_true", help="generate the procedural test scene at <path> if missing")
+    parser.add_argument("--synthetic_variant", type=str, default="default",
+                        choices=["default", "hard"],
+                        help="'hard': textured emission, 12 spheres, thin rods + torus")
     parser.add_argument(
         "--encoding", type=str, default="hashgrid",
         choices=["hashgrid", "tiledgrid", "brickgrid", "cpgrid", "frequency"],
@@ -109,7 +112,7 @@ def main():
     if opt.synthetic:
         from ngp_tpu.data.synthetic import make_synthetic_dataset
 
-        make_synthetic_dataset(opt.path)
+        make_synthetic_dataset(opt.path, variant=opt.synthetic_variant)
 
     render_cfg = RenderConfig(
         bound=opt.bound,

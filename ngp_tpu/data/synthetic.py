@@ -52,6 +52,95 @@ def scene_density_color(x, time=None):
     return sigma, rgb
 
 
+# harder variant: more + smaller spheres, textured emission, thin rods
+# and a torus — high-frequency color and sub-cell geometry that a sloppy
+# marcher or a low-capacity encoder visibly fails on (the round-1
+# verdict called the 5-sphere scene too easy)
+_HARD_SPHERES = [
+    ((0.0, 0.0, 0.0), 0.38, 25.0, (0.85, 0.25, 0.15), 9.0),
+    ((0.42, 0.28, 0.12), 0.2, 30.0, (0.15, 0.7, 0.25), 14.0),
+    ((-0.38, -0.12, 0.32), 0.17, 40.0, (0.2, 0.35, 0.9), 11.0),
+    ((0.12, -0.42, -0.36), 0.14, 60.0, (0.9, 0.8, 0.2), 17.0),
+    ((-0.22, 0.45, -0.22), 0.11, 80.0, (0.85, 0.4, 0.8), 21.0),
+    ((0.55, -0.2, 0.4), 0.09, 70.0, (0.3, 0.85, 0.8), 25.0),
+    ((-0.55, 0.25, -0.45), 0.08, 90.0, (0.95, 0.55, 0.2), 19.0),
+    ((0.3, 0.55, 0.45), 0.07, 100.0, (0.5, 0.2, 0.9), 28.0),
+    ((-0.1, -0.6, 0.15), 0.06, 120.0, (0.2, 0.9, 0.4), 31.0),
+    ((0.62, 0.5, -0.3), 0.05, 150.0, (0.9, 0.15, 0.5), 35.0),
+    ((-0.62, -0.45, -0.2), 0.05, 150.0, (0.95, 0.9, 0.85), 40.0),
+    ((0.05, 0.2, 0.62), 0.045, 160.0, (0.4, 0.6, 1.0), 38.0),
+]
+# thin rods: (endpoint a, endpoint b, radius, sigma, rgb)
+_HARD_RODS = [
+    ((-0.6, -0.55, -0.5), (0.6, 0.5, 0.55), 0.025, 200.0, (1.0, 0.85, 0.3)),
+    ((-0.5, 0.6, 0.5), (0.55, -0.6, -0.45), 0.02, 220.0, (0.3, 1.0, 0.9)),
+    ((0.6, -0.5, 0.55), (-0.55, 0.55, -0.55), 0.02, 220.0, (1.0, 0.45, 0.85)),
+]
+# torus in the y=0.15 plane: (center, major R, minor r, sigma, rgb)
+_HARD_TORUS = ((0.0, 0.15, 0.0), 0.55, 0.04, 180.0, (0.55, 0.95, 0.35))
+
+
+def scene_density_color_hard(x, time=None):
+    """Harder analytic field: textured emission (per-object trig color
+    modulation), 12 spheres down to r=0.045, three r=0.02 rods, and a
+    thin torus. Still the exact emission-absorption model (piecewise-
+    constant sigma), so a correct NeRF can drive PSNR arbitrarily high;
+    the difficulty is representational, not statistical."""
+    import jax.numpy as jnp
+
+    sigma = jnp.zeros(x.shape[:-1], jnp.float32)
+    rgb_accum = jnp.zeros(x.shape[:-1] + (3,), jnp.float32)
+
+    def add(inside_sigma, col, tex=None):
+        # constant density per object, TEXTURED emission (tex scales
+        # only the color — the normalization below then yields tex*col
+        # inside the object, not a cancelled constant)
+        nonlocal sigma, rgb_accum
+        c = jnp.asarray(col, jnp.float32)
+        w = inside_sigma[..., None] * (
+            tex[..., None] if tex is not None else 1.0
+        )
+        sigma = sigma + inside_sigma
+        rgb_accum = rgb_accum + w * c
+
+    for i, (c, r, s, col, freq) in enumerate(_HARD_SPHERES):
+        c = jnp.asarray(c, jnp.float32)
+        if time is not None and i == 0:
+            c = c + jnp.asarray([0.5, 0.0, 0.0]) * (time - 0.5)
+        d = jnp.linalg.norm(x - c, axis=-1)
+        inside = (d < r).astype(jnp.float32)
+        # textured emission: color scales with a 3-D sinusoid — high
+        # spatial frequency the encoder must actually resolve
+        tex = 0.65 + 0.35 * (
+            jnp.sin(freq * x[..., 0] + i)
+            * jnp.sin(freq * x[..., 1] + 2.0 * i)
+            * jnp.sin(freq * x[..., 2] + 3.0 * i)
+        )
+        add(s * inside, col, tex)
+    for a, b, r, s, col in _HARD_RODS:
+        a = jnp.asarray(a, jnp.float32)
+        b = jnp.asarray(b, jnp.float32)
+        ab = b - a
+        t = jnp.clip(
+            jnp.sum((x - a) * ab, axis=-1) / jnp.sum(ab * ab), 0.0, 1.0
+        )
+        d = jnp.linalg.norm(x - (a + t[..., None] * ab), axis=-1)
+        add(s * (d < r).astype(jnp.float32), col)
+    (tc, R, r, s, col) = _HARD_TORUS
+    tc = jnp.asarray(tc, jnp.float32)
+    q = x - tc
+    ring = jnp.sqrt(jnp.maximum(q[..., 0] ** 2 + q[..., 2] ** 2, 1e-12)) - R
+    d = jnp.sqrt(ring**2 + q[..., 1] ** 2)
+    add(s * (d < r).astype(jnp.float32), col)
+
+    rgb = rgb_accum / jnp.maximum(sigma[..., None], 1e-8)
+    rgb = jnp.where(sigma[..., None] > 0, jnp.clip(rgb, 0.0, 1.0), 1.0)
+    return sigma, rgb
+
+
+_FIELDS = {"default": scene_density_color, "hard": scene_density_color_hard}
+
+
 def _orbit_pose(theta: float, phi: float, radius: float) -> np.ndarray:
     """y-up lookat orbit pose in the framework's native (ngp) frame."""
     center = np.array(
@@ -90,11 +179,11 @@ def _inverse_ngp(pose: np.ndarray, scale: float) -> np.ndarray:
 _RUN_CACHE = {}
 
 
-def _gt_run_fn(num_steps: int, dynamic: bool = False):
+def _gt_run_fn(num_steps: int, dynamic: bool = False, variant: str = "default"):
     """Jitted analytic renderer, cached per num_steps so repeated frames
     reuse one executable (a fresh jit per frame means a fresh — and on
     the remote-compile TPU tunnel, slow — compilation each call)."""
-    key = (num_steps, dynamic)
+    key = (num_steps, dynamic, variant)
     if key in _RUN_CACHE:
         return _RUN_CACHE[key]
     import jax
@@ -112,7 +201,7 @@ def _gt_run_fn(num_steps: int, dynamic: bool = False):
         z = jnp.linspace(0.0, 1.0, num_steps)
         z_vals = nears[:, None] + (fars - nears)[:, None] * z[None, :]
         pts = ro[:, None, :] + rd[:, None, :] * z_vals[..., None]
-        sigma, rgb = scene_density_color(pts, time if dynamic else None)
+        sigma, rgb = _FIELDS[variant](pts, time if dynamic else None)
         deltas = jnp.diff(z_vals, axis=-1)
         deltas = jnp.concatenate([deltas, ((fars - nears) / num_steps)[:, None]], axis=-1)
         out = composite(sigma, rgb, deltas)
@@ -124,7 +213,7 @@ def _gt_run_fn(num_steps: int, dynamic: bool = False):
 
 def render_gt_frame(
     pose: np.ndarray, intrinsics, H: int, W: int, num_steps: int = 512,
-    time: Optional[float] = None,
+    time: Optional[float] = None, variant: str = "default",
 ):
     """Render an RGBA ground-truth frame of the analytic scene."""
     import jax.numpy as jnp
@@ -132,7 +221,7 @@ def render_gt_frame(
     from ngp_tpu.data.raysampler import full_frame_rays_np
 
     rays = full_frame_rays_np(pose, intrinsics, H, W)
-    run = _gt_run_fn(num_steps, dynamic=time is not None)
+    run = _gt_run_fn(num_steps, dynamic=time is not None, variant=variant)
 
     chunks_img, chunks_a = [], []
     CHUNK = 65536
@@ -170,6 +259,7 @@ def make_synthetic_dataset(
     overwrite: bool = False,
     num_steps: int = 512,
     dynamic: bool = False,
+    variant: str = "default",
 ) -> str:
     """Create (or reuse) a blender-format dataset directory; returns root.
 
@@ -203,7 +293,10 @@ def make_synthetic_dataset(
                 phi = 2 * np.pi * (i + (0.5 if split == "test" else 0.0)) / n
             pose = _orbit_pose(theta, phi, radius)
             t_frame = (i / max(n - 1, 1)) if dynamic else None
-            rgba = render_gt_frame(pose, intrinsics, H, W, num_steps=num_steps, time=t_frame)
+            rgba = render_gt_frame(
+                pose, intrinsics, H, W, num_steps=num_steps, time=t_frame,
+                variant=variant,
+            )
             img_dir = os.path.join(root, split)
             os.makedirs(img_dir, exist_ok=True)
             name = f"r_{i}"
