@@ -55,6 +55,23 @@ def build_parser():
     # experimental
     parser.add_argument("--error_map", action="store_true")
     parser.add_argument("--rand_pose", type=int, default=-1)
+    parser.add_argument("--clip_text", type=str, default="",
+                        help="CLIP guidance prompt for rand_pose mode; needs "
+                             "--clip_model_path (local HF CLIP checkout)")
+    parser.add_argument("--clip_model_path", type=str, default="",
+                        help="local 'openai/clip-vit-base-patch16' checkout")
+    # backbone selectors kept for CLI parity: there is ONE flax backbone
+    parser.add_argument("--ff", action="store_true",
+                        help="accepted for parity (single flax backbone on TPU)")
+    parser.add_argument("--tcnn", action="store_true",
+                        help="accepted for parity (single flax backbone on TPU)")
+    # GUI (browser viewer; the reference's DearPyGui window flags)
+    parser.add_argument("--gui", action="store_true", help="serve the browser viewer instead of batch training")
+    parser.add_argument("--W", type=int, default=800, help="GUI render width")
+    parser.add_argument("--H", type=int, default=800, help="GUI render height")
+    parser.add_argument("--radius", type=float, default=5.0, help="GUI camera radius")
+    parser.add_argument("--fovy", type=float, default=50.0, help="GUI camera fovy")
+    parser.add_argument("--max_spp", type=int, default=64, help="GUI max SPP accumulation")
     parser.add_argument("--synthetic", action="store_true", help="generate the procedural test scene at <path> if missing")
     parser.add_argument("--synthetic_variant", type=str, default="default",
                         choices=["default", "hard"],
@@ -175,6 +192,30 @@ def main():
         downscale=opt.downscale, error_map=opt.error_map, seed=opt.seed,
         color_space=opt.color_space,
     )
+
+    if opt.rand_pose >= 0:
+        # CLIP-guided random-pose mode (reference utils.py:446-449):
+        # real differentiable CLIP when a local checkout is given,
+        # otherwise the dependency-free stand-in image loss
+        from ngp_tpu.training.clip_guidance import CLIPLoss, GradientImageLoss
+
+        if opt.clip_model_path:
+            trainer.guidance_loss = CLIPLoss(
+                opt.clip_text, model_path=opt.clip_model_path
+            )
+        else:
+            print("[warn] no --clip_model_path: using the stand-in "
+                  "GradientImageLoss for guidance steps")
+            trainer.guidance_loss = GradientImageLoss(opt.clip_text)
+
+    if opt.gui:
+        from ngp_tpu.viewer import InteractiveSession
+        from ngp_tpu.viewer_web import serve
+
+        trainer.load_checkpoint(None if opt.ckpt == "latest" else opt.ckpt)
+        session = InteractiveSession(trainer, train_ds, max_spp=opt.max_spp)
+        serve(session, W=opt.W, H=opt.H, radius=opt.radius, fovy=opt.fovy)
+        return
     valid_ds = NeRFDataset(opt.path, split="val", scale=opt.scale, offset=opt.offset, downscale=opt.downscale, color_space=opt.color_space)
 
     steps_per_epoch = len(train_ds)

@@ -77,14 +77,15 @@ loop();
 </script></body></html>"""
 
 
-def serve(session, W: int = 800, H: int = 800, port: int = 7860, train: bool = True):
+def serve(session, W: int = 800, H: int = 800, port: int = 7860, train: bool = True,
+          radius: float = 2.0, fovy: float = 60.0):
     """Blocking server loop: interleaves training and rendering on the
     main thread (the TPU is single-client), serves frames to browsers."""
     import cv2
 
     from ngp_tpu.viewer import OrbitCamera
 
-    camera = OrbitCamera(W, H, r=2.0)
+    camera = OrbitCamera(W, H, r=radius, fovy=fovy)
     state = {"frame": None, "stats": {}, "lock": threading.Lock()}
 
     class Handler(BaseHTTPRequestHandler):

@@ -74,3 +74,25 @@ def test_llff2nerf(tmp_path):
     meta = json.loads((scene / "transforms.json").read_text())
     assert len(meta["frames"]) == n
     assert abs(meta["fl_x"] - 10.0) < 1e-6
+
+
+def test_hard_synthetic_variant(tmp_path):
+    """The hard procedural scene generates a loadable blender dataset
+    with thin structures present in the rendered frames."""
+    import numpy as np
+
+    from ngp_tpu.data.nerf_dataset import NeRFDataset
+    from ngp_tpu.data.synthetic import make_synthetic_dataset
+
+    root = str(tmp_path / "hard")
+    make_synthetic_dataset(
+        root, n_train=2, n_val=1, n_test=1, H=48, W=48, num_steps=128,
+        variant="hard",
+    )
+    ds = NeRFDataset(root, split="train", scale=0.8)
+    assert len(ds) == 2 and ds.images.shape == (2, 48, 48, 4)
+    # the scene is mostly empty but not trivial: some opacity, varied color
+    alpha = ds.images[..., 3]
+    assert 0.02 < alpha.mean() < 0.9
+    rgb = ds.images[..., :3][alpha > 0.5]
+    assert rgb.std() > 0.1  # textured emission, not flat colors
