@@ -20,6 +20,8 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--fp16", action="store_true", help="bf16 mixed precision (TPU)")
+    parser.add_argument("--ff", action="store_true", help="accepted for parity (single flax backbone on TPU)")
+    parser.add_argument("--tcnn", action="store_true", help="accepted for parity (single flax backbone on TPU)")
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--num_samples", type=int, default=2**18)
     parser.add_argument("--clip_sdf", type=float, default=None)

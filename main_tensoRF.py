@@ -44,6 +44,17 @@ def main():
     parser.add_argument("--density_thresh", type=float, default=10)
     parser.add_argument("--bg_radius", type=float, default=-1)
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--preload", action="store_true", help="no-op: data is always device-resident on TPU")
+    parser.add_argument("--color_space", type=str, default="srgb", choices=["srgb", "linear"])
+    parser.add_argument("--error_map", action="store_true")
+    parser.add_argument("--patch_size", type=int, default=1)
+    parser.add_argument("--max_ray_batch", type=int, default=4096)
+    parser.add_argument("--gui", action="store_true", help="serve the browser viewer")
+    parser.add_argument("--W", type=int, default=800)
+    parser.add_argument("--H", type=int, default=800)
+    parser.add_argument("--radius", type=float, default=5.0)
+    parser.add_argument("--fovy", type=float, default=50.0)
+    parser.add_argument("--max_spp", type=int, default=64)
     parser.add_argument("--downscale", type=int, default=1)
     parser.add_argument("--epochs", type=int, default=0)
     opt = parser.parse_args()
@@ -65,6 +76,8 @@ def main():
     train_cfg = TrainConfig(
         iters=opt.iters, lr=opt.lr0, num_rays=opt.num_rays, seed=opt.seed,
         workspace=opt.workspace, update_extra_interval=opt.update_extra_interval,
+        color_space=opt.color_space, error_map=opt.error_map,
+        patch_size=opt.patch_size,
     )
     r0 = opt.resolution0
     if opt.cp:
@@ -79,7 +92,22 @@ def main():
         resolution0=opt.resolution0, resolution1=opt.resolution1,
     )
 
-    test_ds = NeRFDataset(opt.path, split="test", scale=opt.scale, offset=opt.offset, downscale=opt.downscale)
+    trainer.max_ray_batch = opt.max_ray_batch
+    if opt.gui:
+        from ngp_tpu.viewer import InteractiveSession
+        from ngp_tpu.viewer_web import serve
+
+        trainer.load_checkpoint(None if opt.ckpt == "latest" else opt.ckpt)
+        gui_train_ds = NeRFDataset(
+            opt.path, split="train", scale=opt.scale, offset=opt.offset,
+            downscale=opt.downscale, seed=opt.seed, color_space=opt.color_space,
+        )
+        serve(InteractiveSession(trainer, gui_train_ds, max_spp=opt.max_spp),
+              W=opt.W, H=opt.H, radius=opt.radius, fovy=opt.fovy)
+        return
+
+
+    test_ds = NeRFDataset(opt.path, split="test", scale=opt.scale, offset=opt.offset, downscale=opt.downscale, color_space=opt.color_space)
     if opt.test:
         trainer.load_checkpoint(None if opt.ckpt == "latest" else opt.ckpt)
         if test_ds.has_gt:
@@ -87,8 +115,8 @@ def main():
         trainer.test(test_ds)
         return
 
-    train_ds = NeRFDataset(opt.path, split="train", scale=opt.scale, offset=opt.offset, downscale=opt.downscale, seed=opt.seed)
-    valid_ds = NeRFDataset(opt.path, split="val", scale=opt.scale, offset=opt.offset, downscale=opt.downscale)
+    train_ds = NeRFDataset(opt.path, split="train", scale=opt.scale, offset=opt.offset, downscale=opt.downscale, seed=opt.seed, color_space=opt.color_space)
+    valid_ds = NeRFDataset(opt.path, split="val", scale=opt.scale, offset=opt.offset, downscale=opt.downscale, color_space=opt.color_space)
     max_epochs = opt.epochs or max(1, opt.iters // len(train_ds))
     trainer.train_on_dataset(train_ds, valid_ds, max_epochs=max_epochs)
     if test_ds.has_gt:
