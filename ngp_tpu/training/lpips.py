@@ -110,6 +110,8 @@ def _features(params, x: jnp.ndarray):
             window_strides=(stride, stride),
             padding=[(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            # metric fidelity: TPU convs default to bf16 operands
+            precision=jax.lax.Precision.HIGHEST,
         ) + jnp.asarray(params[f"conv{i}_b"])
         h = jax.nn.relu(h)
         taps.append(h)

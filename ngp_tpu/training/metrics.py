@@ -46,6 +46,11 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0) -> jnp
         out = jax.lax.conv_general_dilated(
             x, k.transpose(2, 3, 0, 1), (1, 1), "VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            # TPU convs default to bf16 operands; the variance terms
+            # below are differences of ~1.0-magnitude blurs vs
+            # c2=9e-4 — bf16 noise (±4e-3) makes them wildly wrong
+            # (measured SSIM "1.05-2.5" on v5e). Force f32.
+            precision=jax.lax.Precision.HIGHEST,
         )
         return out[:, 0].transpose(1, 2, 0)
 

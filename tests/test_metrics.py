@@ -165,3 +165,20 @@ class TestLPIPS:
         m = LPIPSMeter()
         with pytest.raises(RuntimeError):
             m.update(np.zeros((8, 8, 3)), np.zeros((8, 8, 3)))
+
+
+def test_ssim_white_background_regression():
+    """Regression: TPU convs default to bf16 operands, which made the
+    SSIM variance terms (differences of ~1.0 blurs vs c2=9e-4) garbage
+    on mostly-white NeRF eval frames (measured 1.05-2.5 on v5e). With
+    forced f32 precision SSIM must stay <= 1 and match a numpy
+    windowless bound on near-identical images."""
+    rng = np.random.default_rng(0)
+    base = np.ones((64, 64, 3), np.float32)
+    base[20:40, 20:40] = rng.random((20, 20, 3))
+    noisy = np.clip(base + rng.normal(0, 0.01, base.shape).astype(np.float32), 0, 1)
+    from ngp_tpu.training.metrics import ssim
+
+    v = float(ssim(jnp.asarray(base), jnp.asarray(noisy)))
+    assert 0.8 < v <= 1.0
+    assert float(ssim(jnp.asarray(base), jnp.asarray(base))) == pytest.approx(1.0, abs=1e-5)
