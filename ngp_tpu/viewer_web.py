@@ -77,16 +77,11 @@ loop();
 </script></body></html>"""
 
 
-def serve(session, W: int = 800, H: int = 800, port: int = 7860, train: bool = True,
-          radius: float = 2.0, fovy: float = 60.0):
-    """Blocking server loop: interleaves training and rendering on the
-    main thread (the TPU is single-client), serves frames to browsers."""
+def make_server(session, camera, state, W: int, H: int, port: int):
+    """HTTP server serving the viewer page / frames / stats and routing
+    /ctl widget ops to the camera + session (separated from the main
+    render loop for testability)."""
     import cv2
-
-    from ngp_tpu.viewer import OrbitCamera
-
-    camera = OrbitCamera(W, H, r=radius, fovy=fovy)
-    state = {"frame": None, "stats": {}, "lock": threading.Lock()}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -148,7 +143,18 @@ def serve(session, W: int = 800, H: int = 800, port: int = 7860, train: bool = T
             self.end_headers()
             self.wfile.write(body)
 
-    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    return ThreadingHTTPServer(("0.0.0.0", port), Handler)
+
+
+def serve(session, W: int = 800, H: int = 800, port: int = 7860, train: bool = True,
+          radius: float = 2.0, fovy: float = 60.0):
+    """Blocking server loop: interleaves training and rendering on the
+    main thread (the TPU is single-client), serves frames to browsers."""
+    from ngp_tpu.viewer import OrbitCamera
+
+    camera = OrbitCamera(W, H, r=radius, fovy=fovy)
+    state = {"frame": None, "stats": {}, "lock": threading.Lock()}
+    server = make_server(session, camera, state, W, H, port)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     print(f"[viewer] http://localhost:{port}", flush=True)
 

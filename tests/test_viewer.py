@@ -148,3 +148,61 @@ def test_widget_surface_aabb_and_requests(tmp_path):
     sess.request("train")
     sess.service_requests()
     assert sess.training != was
+
+
+def test_viewer_web_http_endpoints():
+    """HTTP smoke: page, frame, stats, and /ctl ops drive the camera
+    and session through a real server (stub session, no trainer)."""
+    import json
+    import threading
+    import urllib.request
+
+    from ngp_tpu.viewer import OrbitCamera
+    from ngp_tpu.viewer_web import make_server
+
+    class StubSession:
+        def __init__(self):
+            self.mode = "rgb"
+            self.aabb_calls = []
+            self.requests = []
+
+        def set_aabb_axis(self, axis, frac):
+            self.aabb_calls.append((axis, frac))
+
+        def request(self, op, arg=None):
+            self.requests.append((op, arg))
+
+    sess = StubSession()
+    cam = OrbitCamera(64, 64, r=2.0)
+    state = {"frame": np.zeros((64, 64, 3), np.uint8), "stats": {"step": 7},
+             "lock": threading.Lock()}
+    server = make_server(sess, cam, state, 64, 64, 0)  # port 0 = ephemeral
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        get = lambda p: urllib.request.urlopen(f"http://127.0.0.1:{port}{p}", timeout=10)
+        assert b"ngp_tpu viewer" in get("/").read()
+        assert get("/frame").read()[:2] == b"\xff\xd8"  # JPEG magic
+        assert json.loads(get("/stats").read())["step"] == 7
+        r0 = cam.radius
+        get("/ctl?op=scale&dx=1").read()
+        assert cam.radius < r0
+        get("/ctl?op=fov&dx=80").read()
+        assert cam.fovy == 80.0
+        get("/ctl?op=aabb&axis=2&dx=-50").read()
+        assert sess.aabb_calls == [(2, -0.5)]
+        get("/ctl?op=save_ckpt").read()
+        get("/ctl?op=max_samples&dx=16").read()
+        assert ("save_ckpt", None) in sess.requests
+        assert ("max_samples", 16) in sess.requests
+        get("/ctl?op=mode").read()
+        assert sess.mode == "depth"
+        import urllib.error
+        try:
+            get("/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
