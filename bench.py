@@ -69,16 +69,10 @@ def main():
     epoch_iter = trainer.make_loader(train_ds)
 
     def run_steps(n):
-        it = epoch_iter()
         done = 0
         while done < n:
             for batch in epoch_iter():
-                trainer.on_step_begin()
-                trainer.rng, k = jax.random.split(trainer.rng)
-                trainer.state, trainer.aux, metrics = trainer._jit_train_step(
-                    trainer.state, trainer.aux, batch, k
-                )
-                trainer.global_step += 1
+                metrics = trainer.step(batch)
                 done += 1
                 if done >= n:
                     break

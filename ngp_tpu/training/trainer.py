@@ -169,6 +169,22 @@ class Trainer:
         if self._jit_train_step is None:
             self._jit_train_step = jax.jit(self.train_step, donate_argnums=(0,))
 
+    def step(self, batch):
+        """One training step with the host-side bookkeeping custom
+        loops otherwise forget: on_step_begin (occupancy-refresh
+        cadence keys off global_step — skipping the counter makes the
+        grid refresh EVERY step, ~2x slower) + rng split + step counter.
+        Returns the metrics dict (device values; don't block on it
+        every step)."""
+        self.ensure_initialized()
+        self.on_step_begin()
+        self.rng, k = jax.random.split(self.rng)
+        self.state, self.aux, metrics = self._jit_train_step(
+            self.state, self.aux, batch, k
+        )
+        self.global_step += 1
+        return metrics
+
     def train(
         self,
         train_loader: Iterable,

@@ -197,12 +197,7 @@ class InteractiveSession:
         t0 = time.perf_counter()
         metrics = None
         for _ in range(self.steps_per_call):
-            t.on_step_begin()
-            t.rng, k = jax.random.split(t.rng)
-            t.state, t.aux, metrics = t._jit_train_step(
-                t.state, t.aux, self._next_batch(), k
-            )
-            t.global_step += 1
+            metrics = t.step(self._next_batch())
         jax.block_until_ready(metrics)
         dt = (time.perf_counter() - t0) * 1000
         # adapt step count toward the budget (gui.py:106-111)

@@ -53,11 +53,7 @@ def main():
     window_t0 = None
     while done < n_steps:
         for batch in epoch_iter():
-            trainer.on_step_begin()
-            trainer.rng, k = jax.random.split(trainer.rng)
-            trainer.state, trainer.aux, metrics = trainer._jit_train_step(
-                trainer.state, trainer.aux, batch, k)
-            trainer.global_step += 1
+            metrics = trainer.step(batch)
             done += 1
             if done % 100 == 0:
                 jax.block_until_ready(metrics)
