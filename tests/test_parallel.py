@@ -125,3 +125,62 @@ def test_gather_predictions_dp(mesh):
     x = np.arange(64 * 5, dtype=np.float32).reshape(64, 5)
     out = gather_predictions_dp(mesh, jnp.asarray(x))
     np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_tensor_parallel_cp_factor_sharding(tmp_path):
+    """2-axis (data x model) mesh: CP factor banks shard rank-wise over
+    'model' (with their Adam moments), the full train step runs, the
+    layout survives the update, and the loss matches the replicated
+    run."""
+    from ngp_tpu.parallel.mesh import tp_param_specs
+
+    render_cfg = RenderConfig(
+        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=32,
+        max_samples_per_ray=16, grid_size=16,
+        turbo=True, coarse_candidates=32, crossing_slots=16,
+        compact_mean_samples=8,
+    )
+    net_cfg = NetworkConfig(
+        encoding="cpgrid", use_bf16=False,
+        cp_resolutions=(32, 64), cp_rank=8, cp_freq_degree=4,
+    )
+    train_cfg = TrainConfig(iters=100, num_rays=64, workspace=str(tmp_path))
+    model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
+
+    def run(mesh, tp):
+        trainer = GridNeRFTrainer(
+            model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False
+        )
+        trainer.mesh = mesh
+        trainer.ensure_initialized()
+        batch = _tiny_batch()
+        if mesh is not None:
+            if tp:
+                specs = tp_param_specs(trainer.state, mesh)
+                trainer.state = jax.tree.map(jax.device_put, trainer.state, specs)
+            else:
+                repl = replicate_sharding(mesh)
+                trainer.state = shard_pytree(trainer.state, repl)
+            trainer.aux = shard_pytree(trainer.aux, replicate_sharding(mesh))
+            batch = shard_pytree(batch, replicate_sharding(mesh))
+            with mesh:
+                step = jax.jit(trainer.train_step)
+                state, aux, metrics = step(
+                    trainer.state, trainer.aux, batch, jax.random.PRNGKey(0)
+                )
+        else:
+            state, aux, metrics = jax.jit(trainer.train_step)(
+                trainer.state, trainer.aux, batch, jax.random.PRNGKey(0)
+            )
+        return state, float(metrics["loss"])
+
+    mesh = make_mesh(8, model_parallel=2)
+    assert mesh.devices.shape == (4, 2)
+    state_tp, loss_tp = run(mesh, tp=True)
+    _, loss_single = run(None, tp=False)
+    assert loss_tp == pytest.approx(loss_single, rel=1e-4)
+    # factor leaves kept their model-axis sharding through the update
+    leaves = jax.tree_util.tree_leaves_with_path(state_tp.params)
+    facs = [l for p, l in leaves
+            if "factors_" in "/".join(str(getattr(q, "key", q)) for q in p)]
+    assert facs and all(not f.sharding.is_fully_replicated for f in facs)
