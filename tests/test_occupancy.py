@@ -266,3 +266,41 @@ def test_bitfield_reference_morton_order():
     for c in range(cfg.cascades):
         expect = occ[c, coords[:, 0], coords[:, 1], coords[:, 2]]
         np.testing.assert_array_equal(bits[c].astype(bool), expect)
+
+
+def test_projected_aabb_cull_is_conservative(tmp_path):
+    """render_frame's pixel-bbox cull must never drop a ray that the
+    exact slab test says intersects the box (for any orbit pose)."""
+    from ngp_tpu.config import NetworkConfig, TrainConfig
+    from ngp_tpu.data.raysampler import full_frame_rays_np
+    from ngp_tpu.data.synthetic import _orbit_pose
+    from ngp_tpu.models.nerf import NeRFNetwork
+    from ngp_tpu.training.nerf import NeRFTrainer
+
+    cfg = RenderConfig(bound=1.0, min_near=0.05, num_steps=8, upsample_steps=0)
+    net_cfg = NetworkConfig(num_levels=2, log2_hashmap_size=10, use_bf16=False)
+    tr = NeRFTrainer(
+        NeRFNetwork(cfg=net_cfg, render=cfg), cfg,
+        TrainConfig(iters=1, num_rays=16, workspace=str(tmp_path)),
+        log_every=10**9, use_tensorboard=False,
+    )
+    H = W = 40
+    focal = 0.5 * W / np.tan(0.5 * np.deg2rad(70.0))  # wide FOV: box < frame
+    intr = np.array([focal, focal, W / 2, H / 2], np.float32)
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        pose = _orbit_pose(rng.uniform(0.3, np.pi - 0.3), rng.uniform(0, 2 * np.pi), 3.0)
+        bbox = tr._project_aabb_bbox(pose, intr, H, W)
+        assert bbox is not None  # camera outside, box in front
+        r0, r1, c0, c1 = bbox
+        assert r1 > r0 and c1 > c0  # box visible from an orbit camera
+        rays = full_frame_rays_np(pose, intr, H, W)
+        aabb = np.asarray(cfg.aabb, np.float32)
+        inv = 1.0 / np.where(np.abs(rays["rays_d"]) < 1e-15, 1e-15, rays["rays_d"])
+        t0 = (aabb[None, :3] - rays["rays_o"]) * inv
+        t1 = (aabb[None, 3:] - rays["rays_o"]) * inv
+        hit = np.minimum(t0, t1).max(-1) < np.maximum(t0, t1).min(-1)
+        idx = np.nonzero(hit)[0]
+        rows, cols = idx // W, idx % W
+        assert (rows >= r0).all() and (rows <= r1).all()
+        assert (cols >= c0).all() and (cols <= c1).all()
