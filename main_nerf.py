@@ -84,10 +84,16 @@ def build_parser():
     )
     parser.add_argument("--num_levels", type=int, default=16)
     parser.add_argument("--level_dim", type=int, default=2)
-    parser.add_argument("--preset", type=str, default="", choices=["", "tpu", "turbo"],
+    parser.add_argument("--preset", type=str, default="", choices=["", "tpu", "turbo", "turbo-hq"],
                         help="'turbo': cpgrid encoder + matmul-march + sample "
-                             "compaction (the bench config, ~1.2x the CUDA "
-                             "reference); 'tpu': round-1 brickgrid preset")
+                             "compaction (the bench config, ~1.25x the CUDA "
+                             "reference); 'turbo-hq': rank-192 x 5-bank cpgrid "
+                             "(~1.0x, hash-class quality on textured scenes); "
+                             "'tpu': round-1 brickgrid preset")
+    parser.add_argument("--cp_rank", type=int, default=64)
+    parser.add_argument("--cp_freq_degree", type=int, default=5)
+    parser.add_argument("--cp_resolutions", type=int, nargs="*",
+                        default=[256, 512, 1024, 2048])
     parser.add_argument("--max_samples_per_ray", type=int, default=256,
                         help="static per-ray sample budget for the TPU marcher")
     parser.add_argument("--downscale", type=int, default=1)
@@ -113,7 +119,7 @@ def main():
         opt.level_dim = 4
         opt.max_steps = min(opt.max_steps, 256)
         opt.max_samples_per_ray = 32
-    turbo = opt.preset == "turbo"
+    turbo = opt.preset in ("turbo", "turbo-hq")
     if turbo:
         opt.fp16 = True
         opt.cuda_ray = True
@@ -121,6 +127,13 @@ def main():
         opt.max_steps = min(opt.max_steps, 256)
         opt.max_samples_per_ray = 32
         opt.dt_gamma = 0.0  # turbo march uses the uniform closed-form lattice
+    if opt.preset == "turbo-hq":
+        # measured on the hard synthetic scene: 29.3 dB @ 6K steps =
+        # brickgrid-class quality at ~4x its step rate (~0.97x the CUDA
+        # reference throughput)
+        opt.cp_rank = 192
+        opt.cp_freq_degree = 6
+        opt.cp_resolutions = [128, 256, 512, 1024, 2048]
 
     from ngp_tpu.config import NetworkConfig, RenderConfig, TrainConfig
     from ngp_tpu.data.nerf_dataset import NeRFDataset
@@ -148,6 +161,9 @@ def main():
         num_levels=opt.num_levels,
         level_dim=opt.level_dim,
         use_bf16=opt.fp16,
+        cp_rank=opt.cp_rank,
+        cp_freq_degree=opt.cp_freq_degree,
+        cp_resolutions=tuple(opt.cp_resolutions),
     )
     train_cfg = TrainConfig(
         iters=opt.iters,

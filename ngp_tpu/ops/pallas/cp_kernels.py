@@ -119,10 +119,26 @@ def cp_encode(pos, factors, resolutions: Tuple[int, ...], block: int = 1024):
     return _cp_encode_fwd_impl(pos, factors, resolutions, block)
 
 
+def _vmem_block(block, resolutions, rank):
+    """Clamp the M-block so the kernel's scoped VMEM fits (~16 MB):
+    per block row it holds a [blk, res] tent (bf16), the [blk, nb*R]
+    f32 output, and the resident factor banks."""
+    nb = len(resolutions)
+    factors_b = sum(3 * r * rank * 2 for r in resolutions)
+    blk = block
+    while blk > 128:
+        est = blk * max(resolutions) * 2 + blk * nb * rank * 4 + factors_b
+        if est <= 12 * 1024 * 1024:
+            break
+        blk //= 2
+    return blk
+
+
 def _cp_encode_fwd_impl(pos, factors, resolutions, block):
     M = pos.shape[0]
     rank = factors[0].shape[-1]
     nb = len(resolutions)
+    block = _vmem_block(block, resolutions, rank)
     pos_p = _pad_to(pos.astype(jnp.float32), block)
     Mp = pos_p.shape[0]
     grid = (Mp // block,)
@@ -149,8 +165,18 @@ def _cp_encode_bwd(resolutions, block, res_data, g):
     rank = factors[0].shape[-1]
     dfactors = []
     for b, res in enumerate(resolutions):
-        # VMEM budget: tent [blk, res] bf16 + f32 accumulator [3, res, R]
-        blk = min(block, 512 if res > 1024 else 1024)
+        # VMEM budget: ~2 live [blk, res] bf16 tents + the f32
+        # accumulator [3, res, R] + g/vs rows. The 8 MB target
+        # reproduces the empirically-working blocks at rank 64
+        # (512 @ res 2048, 1024 below) and shrinks further for larger
+        # ranks instead of failing scoped-vmem allocation.
+        blk = min(block, 1024)
+        acc_b = 3 * res * rank * 4
+        while blk > 128:
+            est = 2 * blk * res * 2 + acc_b + 4 * blk * rank * 4
+            if est <= 8 * 1024 * 1024:
+                break
+            blk //= 2
         pos_p = _pad_to(pos.astype(jnp.float32), blk)
         Mp = pos_p.shape[0]
         g_p = _pad_to(g.astype(jnp.float32), blk)
