@@ -129,9 +129,9 @@ def main():
         opt.dt_gamma = 0.0  # turbo march uses the uniform closed-form lattice
     if opt.preset == "turbo-hq":
         # measured on the hard synthetic scene: 29.3 dB @ 6K steps =
-        # brickgrid-class quality at ~4x its step rate (~0.97x the CUDA
-        # reference throughput)
-        opt.cp_rank = 192
+        # brickgrid/hash-class quality at ~5x its step rate, still
+        # 1.13x the CUDA reference throughput (rank 192 adds nothing)
+        opt.cp_rank = 128
         opt.cp_freq_degree = 6
         opt.cp_resolutions = [128, 256, 512, 1024, 2048]
 
