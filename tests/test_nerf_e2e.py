@@ -65,3 +65,37 @@ def test_nerf_error_map_training(synth_root, tmp_path):
     em_after = np.asarray(trainer.aux["error_map"])
     # the EMA update must have touched some coarse cells
     assert (em_before != em_after).any()
+
+
+def test_turbo_flagship_trains_on_synthetic(synth_root, tmp_path):
+    """End-to-end PSNR improvement through the FLAGSHIP path: cpgrid
+    encoder + turbo march + sample compaction (the bench/turbo preset
+    at test scale)."""
+    from ngp_tpu.training.nerf_grid import GridNeRFTrainer
+
+    train_ds = NeRFDataset(synth_root, split="train", scale=0.8)
+    val_ds = NeRFDataset(synth_root, split="val", scale=0.8)
+    render_cfg = RenderConfig(
+        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=64,
+        max_samples_per_ray=16, grid_size=32, density_thresh=10.0,
+        turbo=True, coarse_candidates=64, crossing_slots=16,
+        compact_mean_samples=8,
+    )
+    net_cfg = NetworkConfig(
+        encoding="cpgrid", use_bf16=False,
+        cp_resolutions=(32, 64, 128), cp_rank=16, cp_freq_degree=4,
+    )
+    train_cfg = TrainConfig(
+        iters=400, lr=1e-2, num_rays=1024, workspace=str(tmp_path), seed=0
+    )
+    model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
+    trainer = GridNeRFTrainer(
+        model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False
+    )
+    trainer.ensure_initialized()
+    before = trainer.evaluate(val_ds, max_frames=1)["psnr"]
+    trainer.train_on_dataset(train_ds, valid_ds=None, max_epochs=40)  # 320 steps
+    after = trainer.evaluate(val_ds, max_frames=1)["psnr"]
+    print(f"turbo PSNR: {before:.2f} -> {after:.2f}")
+    assert after > before + 5.0, (before, after)
+    assert after > 15.0, after
