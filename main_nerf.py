@@ -96,6 +96,9 @@ def build_parser():
                         default=[256, 512, 1024, 2048])
     parser.add_argument("--max_samples_per_ray", type=int, default=256,
                         help="static per-ray sample budget for the TPU marcher")
+    parser.add_argument("--lpips_weights", type=str, default="",
+                        help="local LPIPS (alex) torch .pth; when set, "
+                             "evaluate/test also report LPIPS")
     parser.add_argument("--downscale", type=int, default=1)
     parser.add_argument("--epochs", type=int, default=0, help="override epoch count (default: iters / frames)")
     parser.add_argument("--save_mesh", action="store_true")
@@ -126,7 +129,9 @@ def main():
         opt.encoding = "cpgrid"
         opt.max_steps = min(opt.max_steps, 256)
         opt.max_samples_per_ray = 32
-        opt.dt_gamma = 0.0  # turbo march uses the uniform closed-form lattice
+        # dt_gamma is NOT forced: the turbo march handles both the
+        # uniform (dt_gamma=0, blender-style) and adaptive
+        # (default 1/128, real colmap captures) lattices
     if opt.preset == "turbo-hq":
         # measured on the hard synthetic scene: 29.3 dB @ 6K steps =
         # brickgrid/hash-class quality at ~5x its step rate, still
@@ -190,6 +195,8 @@ def main():
 
     trainer = TrainerCls(model, render_cfg, train_cfg)
     trainer.max_ray_batch = opt.max_ray_batch
+    if opt.lpips_weights:
+        trainer.lpips_weights = opt.lpips_weights
 
     if opt.test:
         trainer.load_checkpoint(

@@ -58,9 +58,13 @@ class RenderConfig:
     # (raymarching.py:198-203)
     crossing_slots: int = 16
     # global compacted-sample budget as a mean samples/ray multiplier:
-    # M = num_rays * compact_mean_samples; whole trailing rays beyond
-    # the budget are dropped (the CUDA marcher does the same when its
-    # point buffer fills, raymarching.cu:405-414)
+    # M = num_rays * compact_mean_samples; trailing rays beyond the
+    # budget keep only their in-budget prefix (the CUDA marcher's point
+    # buffer fills the same way, raymarching.cu:405-414). NOTE: during
+    # the first steps, while the occupancy grid is still dense, mean
+    # occupancy can exceed this budget and late rays composite to
+    # background until the first grid refreshes sparsify it — the
+    # per-step `turbo_overflow` metric reports the dropped fraction.
     compact_mean_samples: int = 16
 
     @property

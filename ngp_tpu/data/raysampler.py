@@ -98,6 +98,39 @@ def rays_from_indices(
     return {"rays_o": rays_o, "rays_d": rays_d}
 
 
+def rays_from_frame_indices(
+    poses: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    H: int,
+    W: int,
+    inds: jnp.ndarray,
+    fids: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """Multi-frame variant of :func:`rays_from_indices`: each ray
+    unprojects through its own frame's pose.
+
+    poses: [F, 4, 4] cam2world; fids: [N] frame index per ray. The
+    per-ray pose fetch is a one-hot matmul (F is small; a row gather
+    costs ~15 ns/row on TPU while [N, F] @ [F, 16] rides the MXU) —
+    this is what lets eval render MANY validation frames in ONE device
+    dispatch instead of paying a tunnel round trip per frame.
+    """
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    row = (inds // W).astype(jnp.float32) + 0.5
+    col = (inds % W).astype(jnp.float32) + 0.5
+    xs = (col - cx) / fx
+    ys = (row - cy) / fy
+    dirs = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    F = poses.shape[0]
+    oh = jax.nn.one_hot(fids, F, dtype=jnp.float32)
+    prow = oh @ poses[:, :3, :].reshape(F, 12)  # [N, 12] row-major [R|t]
+    rot = prow.reshape(-1, 3, 4)[:, :, :3]
+    rays_d = jnp.einsum("nij,nj->ni", rot, dirs)
+    rays_o = prow.reshape(-1, 3, 4)[:, :, 3]
+    return {"rays_o": rays_o, "rays_d": rays_d}
+
+
 def full_frame_rays(
     pose: jnp.ndarray, intrinsics: jnp.ndarray, H: int, W: int
 ) -> Dict[str, jnp.ndarray]:

@@ -54,12 +54,51 @@ from ngp_tpu.ops.rays import near_far_from_aabb, sph_from_ray
 SQRT3 = math.sqrt(3.0)
 
 
+def dt_bounds(cfg: RenderConfig) -> Tuple[float, float]:
+    """(dt_min, dt_max) of the reference's adaptive step clamp
+    dt = clamp(t * dt_gamma, dt_min, dt_max) (raymarching.cu:345-346)."""
+    dt_min = 2.0 * SQRT3 / cfg.max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (cfg.cascades - 1)) / cfg.grid_size
+    return dt_min, dt_max
+
+
+@functools.lru_cache(maxsize=None)
+def _adaptive_probe_count(
+    dt_gamma: float, dt_min: float, dt_max: float, t0: float, span: float
+) -> int:
+    """Worst-case probe count of the adaptive recurrence
+    t += clamp(t*gamma, dt_min, dt_max) from t0 until it has advanced
+    by ``span``. Python floats at trace time — static under jit. The
+    worst case over rays is the SMALLEST t0 (min_near): adaptive steps
+    grow with absolute t, so rays entering farther out need fewer."""
+    cap = int(math.ceil(span / dt_min)) + 2  # uniform lattice bound
+    t, k = t0, 0
+    end = t0 + span
+    while t < end and k < cap:
+        t += min(max(t * dt_gamma, dt_min), dt_max)
+        k += 1
+    # +2: one probe AT/past the end, one of f32-vs-f64 rounding slack
+    # (the device scan accumulates in f32)
+    return max(k + 2, 2)
+
+
 def lattice_probes(cfg: RenderConfig) -> int:
-    """Uniform-lattice probe count: ceil(max_steps * bound), so that
-    probes at dt_min = 2*sqrt(3)/max_steps spacing cover the longest
-    chord through [-bound, bound]^3 (2*sqrt(3)*bound). Static (bound
-    and max_steps are config), so shapes stay fixed under jit."""
-    return int(math.ceil(cfg.max_steps * max(1.0, cfg.bound)))
+    """March-lattice probe count — static (pure config), so shapes stay
+    fixed under jit.
+
+    dt_gamma == 0: ceil(max_steps * bound), so probes at dt_min
+    spacing cover the longest chord through [-bound, bound]^3
+    (2*sqrt(3)*bound). dt_gamma > 0: the adaptive recurrence's
+    worst-case count over that chord — typically FAR fewer than the
+    uniform count at bound > 1 (geometric dt growth), which is exactly
+    why the reference defaults to dt_gamma=1/128 for real captures
+    (main_nerf.py:33)."""
+    if cfg.dt_gamma == 0.0:
+        return int(math.ceil(cfg.max_steps * max(1.0, cfg.bound)))
+    dt_min, dt_max = dt_bounds(cfg)
+    return _adaptive_probe_count(
+        cfg.dt_gamma, dt_min, dt_max, cfg.min_near, 2.0 * SQRT3 * cfg.bound
+    )
 
 
 @flax.struct.dataclass
@@ -207,10 +246,11 @@ def t_lattice(
     budget (raymarching.cu:388-399) so rays always reach ``far``; here
     probes are decoupled from the sample budget S, so extending the
     (cheap) probe lattice reproduces that. For dt_gamma > 0 a lax.scan
-    of length max_steps whose adaptive dt growth reaches far.
+    over lattice_probes(cfg) points, whose worst-case count also spans
+    the chord (the adaptive dt growth makes it far shorter than the
+    uniform count at bound > 1).
     """
-    dt_min = 2.0 * SQRT3 / cfg.max_steps
-    dt_max = 2.0 * SQRT3 * (2 ** (cfg.cascades - 1)) / cfg.grid_size
+    dt_min, dt_max = dt_bounds(cfg)
 
     def dt_of(t):
         return jnp.clip(t * cfg.dt_gamma, dt_min, dt_max)
@@ -219,13 +259,12 @@ def t_lattice(
     if noise is not None:
         t0 = t0 + dt_of(t0) * noise  # perturbed start (raymarching.cu:352)
 
+    K = lattice_probes(cfg)
     if cfg.dt_gamma == 0.0:
-        K = lattice_probes(cfg)
         ks = jnp.arange(K, dtype=jnp.float32)
         ts = t0[:, None] + ks[None, :] * dt_min
         dts = jnp.full_like(ts, dt_min)
         return ts, dts
-    K = cfg.max_steps
 
     def body(t, _):
         d = dt_of(t)
@@ -405,12 +444,31 @@ def render_rays_grid(
 # turbo march (v2): matmul coarse test + crossing payloads + compaction
 # ---------------------------------------------------------------------------
 
+# t-bits sort keys (march_rays_turbo): positive-f32 bit patterns are
+# monotone in the value, so selection keys carry t itself. Real t's
+# bits stay below _TKEY_THRESH (0x50000000 = bits of 2^33); invalid
+# probes add _TKEY_INVALID, landing in (_TKEY_THRESH, 0x7p...) without
+# int32 overflow for any t < 2^33.
+_TKEY_INVALID = 0x20000000
+_TKEY_THRESH = 0x50000000
+
 
 def _coarse_lookup(coarse_payload: jnp.ndarray, flatcell: jnp.ndarray) -> jnp.ndarray:
-    """Occupancy bits for flat coarse-cell indices — via a one-hot MXU
-    matmul against the byte-packed pooled grid instead of a gather
-    (measured: 3.3 ms for 4.2 M lookups vs 35 ms for the gather;
-    scripts/microbench_v2.py)."""
+    """Occupancy bits for flat coarse-cell indices.
+
+    On TPU this dispatches to the Pallas kernel
+    (ops/pallas/march_kernels.py): lane-dense VMEM-resident lookup, 4 B
+    in + 4 B out per probe (measured 0.95 ms vs 1.3-3.3 ms for the XLA
+    one-hot form at 4.2 M probes). The XLA fallback below — a one-hot
+    MXU matmul against the byte-packed pooled grid — remains the CPU /
+    reference path (still far better than a gather: 3.3 ms vs 35 ms at
+    4.2 M lookups; scripts/microbench_v2.py)."""
+    import os
+
+    if jax.default_backend() != "cpu" and not os.environ.get("NGP_NO_PALLAS_LOOKUP"):
+        from ngp_tpu.ops.pallas.march_kernels import coarse_lookup_bits
+
+        return coarse_lookup_bits(coarse_payload, flatcell)
     shape = flatcell.shape
     fc = flatcell.reshape(-1)
     byte_idx = fc >> 3
@@ -453,16 +511,20 @@ def march_rays_turbo(
     the farthest crossings — the reference's point-budget semantics
     (raymarching.py:198-203).
 
-    Requires ``dt_gamma == 0`` (uniform dt): sample positions are then
-    pure index arithmetic ``t = t0 + k * dt``, which lets every
-    selection stage carry the lattice index INSIDE the top_k key —
-    measured, a single take_along_axis at these shapes costs ~18 ms on
-    v5e (tile-granularity scalar gathers), so the whole march is built
-    without any dynamic indexing except the one payload-row gather.
+    Works for BOTH uniform (dt_gamma == 0) and adaptive
+    (dt = clamp(t*dt_gamma, dt_min, dt_max), raymarching.cu:345-346)
+    lattices. Every selection stage must carry its survivors' sample
+    positions WITHOUT a positional gather (measured: a single
+    take_along_axis at these shapes costs ~18 ms on v5e —
+    tile-granularity scalar gathers). The trick: for positive floats
+    the IEEE-754 bit pattern is monotone in the value, so the top_k /
+    sort keys ARE the f32 bits of t itself — selection by march order
+    and carrying t become the same operation, for ANY monotone lattice.
+    Validity is encoded by adding _TKEY_INVALID (an int far above any
+    real t's bits), and per-sample dt is recomputed from t by the
+    clamp formula. The only dynamic indexing in the march remains the
+    one fine-payload row gather per coarse-cell crossing.
     """
-    if cfg.dt_gamma != 0.0:
-        raise ValueError("march_rays_turbo requires dt_gamma == 0 "
-                         "(use march_rays for adaptive stepping)")
     if state.coarse_payload is None or state.fine_payload is None:
         raise ValueError(
             "march_rays_turbo needs packed payloads — build the state "
@@ -473,32 +535,43 @@ def march_rays_turbo(
     # probe lattice covers the full 2*sqrt(3)*bound chord (reference
     # skips don't consume the step budget, raymarching.cu:388-399)
     K = lattice_probes(cfg)
-    K2 = min(cfg.coarse_candidates, K)
+    assert K >= ALIGN, f"lattice too short ({K} probes)"
+    K2 = max(min(cfg.coarse_candidates, K), ALIGN)
+    # per-ray sample budget: can't exceed the candidate budget (samples
+    # are a subset of candidates), and the turbo placement path
+    # (place_compact) requires ALIGN-aligned budgets — round
+    # caller-supplied budgets (e.g. the GUI 'max samples/ray' dial)
+    S = max(ALIGN, min(-(-S // ALIGN) * ALIGN, K2 // ALIGN * ALIGN))
     U = cfg.crossing_slots
     N = rays_o.shape[0]
     H = cfg.grid_size
     cas = cfg.cascades
     F = COARSE_FACTOR
     Hc = H // F
-    dt = 2.0 * SQRT3 / cfg.max_steps
+    dt_min, dt_max = dt_bounds(cfg)
     if aabb is None:
         aabb = jnp.asarray(cfg.aabb, jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
     hit = fars > nears
     fars_c = jnp.where(hit, fars, nears)
 
-    t0 = nears
+    noise = None
     if perturb and rng is not None:
-        t0 = t0 + dt * jax.random.uniform(rng, (N,))
+        noise = jax.random.uniform(rng, (N,))
+    ts, dts = t_lattice(nears, fars_c, cfg, noise)  # [N, K] (shared w/ v1)
 
-    def cells_at(ts_):
+    def dt_at(t):
+        """Per-sample step size from t (identical expression to
+        t_lattice's dt_of, so recomputed dts match the lattice's)."""
+        if cfg.dt_gamma == 0.0:
+            return jnp.full_like(t, dt_min)
+        return jnp.clip(t * cfg.dt_gamma, dt_min, dt_max)
+
+    def cells_at(ts_, dts_):
         """Fine cell coords + flat coarse id at t values [N, k]."""
         x = rays_o[:, None, :] + rays_d[:, None, :] * ts_[..., None]
         x = jnp.clip(x, -cfg.bound, cfg.bound)
-        level = jnp.maximum(
-            mip_from_pos(x, cas),
-            mip_from_dt(jnp.asarray(dt, jnp.float32), H, cas),
-        )
+        level = jnp.maximum(mip_from_pos(x, cas), mip_from_dt(dts_, H, cas))
         mip_bound = jnp.minimum(2.0 ** level.astype(jnp.float32), cfg.bound)
         n = jnp.clip(
             (0.5 * (x / mip_bound[..., None] + 1.0) * H).astype(jnp.int32),
@@ -508,21 +581,23 @@ def march_rays_turbo(
         flat = ((level * Hc + coarse[..., 0]) * Hc + coarse[..., 1]) * Hc + coarse[..., 2]
         return n, flat
 
-    ks = jnp.arange(K, dtype=jnp.int32)[None, :]
-    ts = t0[:, None] + ks.astype(jnp.float32) * dt  # [N, K]
-    _, flat_c = cells_at(ts)
+    _, flat_c = cells_at(ts, dts)
     coarse_ok = _coarse_lookup(state.coarse_payload, flat_c)
     valid_c = coarse_ok & (ts < fars_c[:, None]) & hit[:, None]
 
     # per-ray compaction of coarse survivors to K2 candidates; the
-    # top_k VALUE carries the lattice index (no position gather)
-    key = jnp.where(valid_c, ks, ks + K)
+    # top_k VALUE carries t's own f32 bits (no position gather).
+    # tbits is monotone in t for t >= 0; real t's bits stay below
+    # _TKEY_THRESH (t < 2^33), invalid keys land above it.
+    tbits = jax.lax.bitcast_convert_type(ts, jnp.int32)
+    key = jnp.where(valid_c, tbits, tbits + _TKEY_INVALID)
     negv, _ = jax.lax.top_k(-key, K2)
-    cand = -negv  # [N, K2] ascending; < K iff a real candidate
-    cmask = cand < K
-    cand_l = jnp.where(cmask, cand, cand - K)
-    ts2 = t0[:, None] + cand_l.astype(jnp.float32) * dt
-    n2, flat2 = cells_at(ts2)
+    cand = -negv  # [N, K2] ascending-t keys
+    cmask = cand < _TKEY_THRESH
+    tbits2 = jnp.where(cmask, cand, cand - _TKEY_INVALID)
+    ts2 = jax.lax.bitcast_convert_type(tbits2, jnp.float32)
+    dts2 = dt_at(ts2)
+    n2, flat2 = cells_at(ts2, dts2)
 
     # crossings: runs of consecutive candidates in the same coarse cell
     change = jnp.concatenate(
@@ -559,15 +634,32 @@ def march_rays_turbo(
     fine_ok = ((byte_val >> (bit6 & 7)) & 1) > 0
     valid_f = fine_ok & cmask & in_budget
 
-    # final per-ray compaction to S samples, again index-carrying keys
-    key2 = jnp.where(valid_f, cand_l, cand_l + K)
+    # final per-ray compaction to S samples, again t-bits keys
+    key2 = jnp.where(valid_f, tbits2, tbits2 + _TKEY_INVALID)
     negv2, _ = jax.lax.top_k(-key2, S)
-    lat = -negv2
+    sel = -negv2  # [N, S] ascending-t keys; valid entries first
     n_total = jnp.sum(valid_f, axis=-1)
     mask = jnp.arange(S, dtype=jnp.int32)[None, :] < n_total[:, None]
-    lat_l = jnp.where(mask, lat, 0)
-    ts_c = jnp.where(mask, t0[:, None] + lat_l.astype(jnp.float32) * dt, 0.0)
-    dts_c = jnp.where(mask, dt, 0.0)
+    # within the mask every key is a real t's bits; masked slots decode
+    # to t = 0.0 (bits 0)
+    ts_c = jax.lax.bitcast_convert_type(
+        jnp.where(mask, sel, 0), jnp.float32
+    )
+    dts_c = jnp.where(mask, dt_at(ts_c), 0.0)
+
+    # overflow observability (VERDICT r2): fraction of would-be samples
+    # dropped by the coarse-candidate / crossing-slot budgets (the
+    # drops are far-first, so this is the quality-relevant signal)
+    n_coarse = jnp.sum(valid_c, axis=-1)  # lattice points that passed coarse
+    n_kept_c = jnp.sum(cmask, axis=-1)  # after the K2 candidate budget
+    # the first two terms are conservative upper bounds: a dropped
+    # coarse candidate / overflow-crossing candidate might not have
+    # passed the fine occupancy test (its payload was never gathered)
+    dropped = (
+        (n_coarse - n_kept_c)  # coarse-candidate budget drops
+        + jnp.sum(cmask & ~in_budget, axis=-1)  # crossing-budget drops
+        + jnp.maximum(n_total - S, 0)  # per-ray sample budget
+    )
 
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts_c[..., None]
     xyzs = jnp.clip(xyzs, -cfg.bound, cfg.bound)
@@ -581,9 +673,7 @@ def march_rays_turbo(
         "nears": nears,
         "fars": fars,
         "n_total": n_total,
-        "lat": lat_l,  # [N, S] lattice indices (turbo compaction payload)
-        "t0": t0,
-        "dt": jnp.float32(dt),
+        "n_dropped": dropped,  # [N] budget-overflow counter (see above)
     }
 
 
@@ -595,9 +685,12 @@ def compact_valid_samples(mask: jnp.ndarray, budget: int, extra=None):
     Returns (src, valid, offsets[, extra_c]): compact slot m holds
     march slot src[m] (flat N*S index); offsets[n] is ray n's first
     compact slot; ``extra`` [N, S] rides the sort as a payload operand
-    (free — no gather needed to compact it). Rays whose samples land
-    past the budget are dropped whole, exactly like the reference when
-    its point buffer fills.
+    (free — no gather needed to compact it). A ray straddling the
+    budget keeps its in-budget prefix (the caller's
+    ``offsets + s < budget`` mask renders that prefix and drops the
+    rest); rays entirely past the budget contribute nothing — the
+    reference's point buffer fills mid-ray the same way
+    (raymarching.cu:405-414 allocates what remains, short rays).
     """
     N, S = mask.shape
     flat = mask.reshape(-1)
@@ -698,22 +791,20 @@ def render_rays_grid_turbo(
         budget = N * cfg.compact_mean_samples
     budget = min(budget, N * S)
     # compact an ALIGN-padded mask (each ray's sample count rounded up
-    # to a block) so placement is a pure row gather; lattice indices
-    # ride the compaction sort; per-sample geometry is then rebuilt
-    # from ONE block-level ray-row gather + arithmetic (every extra
-    # per-sample gather costs ~3-5 ms at this shape)
+    # to a block) so placement is a pure row gather; per-sample t rides
+    # the compaction sort as a payload operand; per-sample geometry is
+    # then rebuilt from ONE block-level ray-row gather + arithmetic
+    # (every extra per-sample gather costs ~3-5 ms at this shape)
     n_total8 = jnp.minimum((m["n_total"] + ALIGN - 1) // ALIGN * ALIGN, S)
     mask8 = jnp.arange(S, dtype=jnp.int32)[None, :] < n_total8[:, None]
-    src, valid_m, offsets, lat_c = compact_valid_samples(
-        mask8, budget, extra=m["lat"]
+    src, valid_m, offsets, t_c = compact_valid_samples(
+        mask8, budget, extra=m["ts"]
     )
     ray_row = jnp.concatenate(
-        [rays_o, rays_d, m["t0"][:, None], jnp.zeros((N, 1), jnp.float32)],
-        axis=-1,
+        [rays_o, rays_d, jnp.zeros((N, 2), jnp.float32)], axis=-1
     )  # [N, 8]
     ray_b = src[::ALIGN] // S  # per compact block (segments ALIGN-aligned)
     rr = jnp.repeat(jnp.take(ray_row, ray_b, axis=0), ALIGN, axis=0)  # [M, 8]
-    t_c = rr[:, 6] + lat_c.astype(jnp.float32) * m["dt"]
     pts = jnp.clip(
         rr[:, 0:3] + rr[:, 3:6] * t_c[:, None], -cfg.bound, cfg.bound
     )  # [M, 3]
@@ -742,6 +833,9 @@ def render_rays_grid_turbo(
         bg = bg_color
     out["image"] = out["image"] + (1.0 - out["weights_sum"])[..., None] * bg
     out["n_samples"] = jnp.sum(maskb)
+    # budget-overflow observability: march budget drops (candidate /
+    # crossing / per-ray-S, far-first) + global-budget truncation here
+    out["n_dropped"] = jnp.sum(m["n_dropped"]) + jnp.sum(m["mask"] & ~maskb)
     out["ts"], out["deltas"] = m["ts"], m["deltas"]  # for distortion loss
     return out
 
@@ -867,51 +961,49 @@ def mark_untrained_grid(
     A cell is 'visible' if its center projects inside some camera's
     image plane in front of the camera (the reference additionally
     keeps a half-grid margin; reproduced via the cell radius term).
+
+    The visibility math is pure geometry and runs ONCE at startup, so
+    it is staged entirely in host numpy (per CLAUDE.md, eager jnp
+    dispatch through the remote-TPU tunnel costs seconds PER OP; the
+    previous chunked-eager form cost ~16 x cascades tunnel round
+    trips). One bool [CAS, H^3] mask transfers at the end.
     """
     Hg = cfg.grid_size
     cas = cfg.cascades
-    fx, fy, cx, cy = (
-        float(intrinsics[0]),
-        float(intrinsics[1]),
-        float(intrinsics[2]),
-        float(intrinsics[3]),
-    )
+    intr = np.asarray(intrinsics, np.float32)
+    fx, fy, cx, cy = float(intr[0]), float(intr[1]), float(intr[2]), float(intr[3])
+    poses_np = np.asarray(poses, np.float32)
+    rot = poses_np[:, :3, :3]  # [P, 3, 3] cam2world
+    trans = poses_np[:, :3, 3]  # [P, 3]
 
-    xx, yy, zz = jnp.meshgrid(jnp.arange(Hg), jnp.arange(Hg), jnp.arange(Hg), indexing="ij")
-    base = 2.0 * jnp.stack([xx, yy, zz], -1).reshape(-1, 3).astype(jnp.float32) / (Hg - 1) - 1.0
+    idx = np.arange(Hg, dtype=np.float32)
+    base = np.stack(
+        np.meshgrid(idx, idx, idx, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    base = 2.0 * base / (Hg - 1) - 1.0  # [M, 3] in [-1, 1]
 
-    # world → camera: the pose is cam2world; invert rigidly
-    rot = poses[:, :3, :3]  # [P, 3, 3]
-    trans = poses[:, :3, 3]  # [P, 3]
-
-    new_grid = state.density_grid
+    vis_all = np.empty((cas, Hg, Hg, Hg), np.bool_)
     for c in range(cas):
         bound = min(2.0**c, cfg.bound)
         half = bound / Hg
         pts = base * (bound - half)  # [M, 3] cell centers
-
-        def visible_from_any(p_chunk):
-            # [m, 3] x [P] cameras
-            rel = p_chunk[None, :, :] - trans[:, None, :]  # [P, m, 3]
-            cam = jnp.einsum("pij,pmj->pmi", rot.transpose(0, 2, 1), rel)
-            z = cam[..., 2]
-            in_front = z > 0.01
+        visible = np.zeros(pts.shape[0], np.bool_)
+        for p in range(poses_np.shape[0]):
+            # world -> camera: pose is cam2world; invert rigidly
+            cam = (pts - trans[p]) @ rot[p]  # R^T (x - t)
+            z = cam[:, 2]
             # reference test (renderer.py:418-428): |x_cam| inside the
             # half-FOV extent at depth z plus a FULL-cell world margin —
             # 2*half_grid_size, so boundary-visible cells are never
             # permanently culled
-            in_x = jnp.abs(cam[..., 0]) < cx / fx * z + 2 * half
-            in_y = jnp.abs(cam[..., 1]) < cy / fy * z + 2 * half
-            return jnp.any(in_front & in_x & in_y, axis=0)  # [m]
+            visible |= (
+                (z > 0.01)
+                & (np.abs(cam[:, 0]) < cx / fx * z + 2 * half)
+                & (np.abs(cam[:, 1]) < cy / fy * z + 2 * half)
+            )
+        vis_all[c] = visible.reshape(Hg, Hg, Hg)
 
-        chunk = 2**17
-        vis = []
-        M = pts.shape[0]
-        pad = (-M) % chunk
-        pts_p = jnp.concatenate([pts, jnp.zeros((pad, 3))]) if pad else pts
-        for i in range(0, pts_p.shape[0], chunk):
-            vis.append(visible_from_any(pts_p[i : i + chunk]))
-        visible = jnp.concatenate(vis)[:M].reshape(Hg, Hg, Hg)
-        new_grid = new_grid.at[c].set(jnp.where(visible, new_grid[c], -1.0))
-
+    new_grid = jnp.where(
+        jnp.asarray(vis_all), state.density_grid, jnp.float32(-1.0)
+    )
     return state.replace(density_grid=new_grid)

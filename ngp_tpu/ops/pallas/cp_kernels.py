@@ -119,15 +119,15 @@ def cp_encode(pos, factors, resolutions: Tuple[int, ...], block: int = 1024):
     return _cp_encode_fwd_impl(pos, factors, resolutions, block)
 
 
-def _vmem_block(block, resolutions, rank):
+def _vmem_block(block, resolutions, rank, itemsize):
     """Clamp the M-block so the kernel's scoped VMEM fits (~16 MB):
-    per block row it holds a [blk, res] tent (bf16), the [blk, nb*R]
-    f32 output, and the resident factor banks."""
+    per block row it holds a [blk, res] tent (factor dtype — bf16 OR
+    f32), the [blk, nb*R] f32 output, and the resident factor banks."""
     nb = len(resolutions)
-    factors_b = sum(3 * r * rank * 2 for r in resolutions)
+    factors_b = sum(3 * r * rank * itemsize for r in resolutions)
     blk = block
     while blk > 128:
-        est = blk * max(resolutions) * 2 + blk * nb * rank * 4 + factors_b
+        est = blk * max(resolutions) * itemsize + blk * nb * rank * 4 + factors_b
         if est <= 12 * 1024 * 1024:
             break
         blk //= 2
@@ -138,7 +138,7 @@ def _cp_encode_fwd_impl(pos, factors, resolutions, block):
     M = pos.shape[0]
     rank = factors[0].shape[-1]
     nb = len(resolutions)
-    block = _vmem_block(block, resolutions, rank)
+    block = _vmem_block(block, resolutions, rank, factors[0].dtype.itemsize)
     pos_p = _pad_to(pos.astype(jnp.float32), block)
     Mp = pos_p.shape[0]
     grid = (Mp // block,)
@@ -165,15 +165,17 @@ def _cp_encode_bwd(resolutions, block, res_data, g):
     rank = factors[0].shape[-1]
     dfactors = []
     for b, res in enumerate(resolutions):
-        # VMEM budget: ~2 live [blk, res] bf16 tents + the f32
-        # accumulator [3, res, R] + g/vs rows. The 8 MB target
-        # reproduces the empirically-working blocks at rank 64
-        # (512 @ res 2048, 1024 below) and shrinks further for larger
-        # ranks instead of failing scoped-vmem allocation.
+        # VMEM budget: ~2 live [blk, res] tents (factor dtype: bf16 or
+        # f32) + the f32 accumulator [3, res, R] + g/vs rows. The 8 MB
+        # target reproduces the empirically-working blocks at rank 64
+        # bf16 (512 @ res 2048, 1024 below) and shrinks further for
+        # larger ranks / f32 factors instead of failing scoped-vmem
+        # allocation.
+        itemsize = factors[b].dtype.itemsize
         blk = min(block, 1024)
         acc_b = 3 * res * rank * 4
         while blk > 128:
-            est = 2 * blk * res * 2 + acc_b + 4 * blk * rank * 4
+            est = 2 * blk * res * itemsize + acc_b + 4 * blk * rank * 4
             if est <= 8 * 1024 * 1024:
                 break
             blk //= 2

@@ -56,7 +56,14 @@ class GridNeRFTrainer(NeRFTrainer):
         if self.render_cfg.turbo:
             # eval budget: eval_mean_samples per ray on average (safe —
             # render_frame shuffles rays so chunks are frame-average);
-            # None falls back to the full no-drop budget
+            # eval_mean_samples=None means the full no-drop budget N*S.
+            # TRAINING steps leave budget=None here, which
+            # render_rays_grid_turbo resolves to the (dropping)
+            # N * cfg.compact_mean_samples budget — intentionally the
+            # reference's mean_count cap (raymarching.py:198-203);
+            # early in training, while the grid is still dense, rays
+            # beyond the mean budget composite to background until the
+            # first occupancy refreshes sparsify it.
             budget = None
             if not perturb:
                 S = max_samples or self.render_cfg.max_samples_per_ray

@@ -248,6 +248,21 @@ class Trainer:
             f"step {step}: "
             + " ".join(f"{k}={v:.6f}" for k, v in host.items())
         )
+        # turbo budget overflow: an UPPER BOUND on dropped samples
+        # (coarse-level drops may not have passed the fine test, and
+        # far-first drops mostly land behind already-opaque geometry —
+        # the reference's mean_count cap truncates the same way).
+        # Normal converged scenes sit at 0.2-0.4; a sustained higher
+        # fraction means the scene is much denser than the configured
+        # budgets (coarse_candidates / crossing_slots /
+        # compact_mean_samples) and far geometry is being lost
+        if host.get("turbo_overflow", 0.0) > 0.5 and step > 256:
+            self.log(
+                f"[warn] turbo sample-budget overflow at "
+                f"{host['turbo_overflow']:.1%}: raise coarse_candidates/"
+                f"crossing_slots/compact_mean_samples or the scene "
+                f"loses far samples (watch eval PSNR)"
+            )
 
     def evaluate_one_epoch(self, loader: Iterable) -> float:
         total, n = 0.0, 0

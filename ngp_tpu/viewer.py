@@ -169,8 +169,11 @@ class InteractiveSession:
                 t.reset_extra_state()
             elif op == "max_samples":
                 # static shape knob: clears the compiled renderers
-                # (one recompile; the dial trades PSNR for frame rate)
-                t.eval_max_samples = max(2, int(arg))
+                # (one recompile; the dial trades PSNR for frame rate).
+                # Rounded up to a multiple of 4: the turbo placement
+                # path requires ALIGN-aligned per-ray budgets
+                # (occupancy.place_compact).
+                t.eval_max_samples = max(4, -(-int(arg) // 4) * 4)
                 t._jit_render_chunks = {}
             self._accum_pose = None
 

@@ -1,6 +1,18 @@
 #!/usr/bin/env python
 """Drive the turbo preset end-to-end on the real TPU: train the CP-grid
-NeRF on the synthetic scene, report loss curve, step time, eval PSNR."""
+NeRF on the synthetic scene, report loss curve, step time, eval PSNR.
+
+Env knobs (all optional):
+  NGP_STEPS=1000        train steps
+  NGP_PRESET=turbo      turbo | turbo-hq
+  NGP_DT_GAMMA=0        adaptive-step gamma (reference default 1/128)
+  NGP_BOUND=1           scene bound (cascades = 1+ceil(log2(bound)))
+  NGP_VARIANT=default   synthetic variant (default | hard)
+  NGP_H=400             image resolution
+  NGP_RAYS=16384        rays per step
+  NGP_VIEWS=16          train views
+  NGP_EVAL_SSIM=0       also meter SSIM at eval
+"""
 import os
 import sys
 import time
@@ -20,23 +32,42 @@ def main():
     from ngp_tpu.training.nerf_grid import GridNeRFTrainer
 
     n_steps = int(os.environ.get("NGP_STEPS", "1000"))
-    cache = os.environ.get("NGP_BENCH_DATA", "/root/.ngp_bench_data")
-    make_synthetic_dataset(cache, n_train=16, n_val=1, n_test=1, H=400, W=400)
+    preset = os.environ.get("NGP_PRESET", "turbo")
+    dt_gamma = float(os.environ.get("NGP_DT_GAMMA", "0"))
+    bound = float(os.environ.get("NGP_BOUND", "1"))
+    variant = os.environ.get("NGP_VARIANT", "default")
+    H = int(os.environ.get("NGP_H", "400"))
+    n_rays = int(os.environ.get("NGP_RAYS", "16384"))
+    n_views = int(os.environ.get("NGP_VIEWS", "16"))
+
+    cache = os.environ.get(
+        "NGP_BENCH_DATA", f"/root/.ngp_drive_{variant}_{H}_{n_views}"
+    )
+    make_synthetic_dataset(
+        cache, n_train=n_views, n_val=1, n_test=1, H=H, W=H, variant=variant
+    )
     train_ds = NeRFDataset(cache, split="train", scale=0.8)
     val_ds = NeRFDataset(cache, split="val", scale=0.8)
 
     render_cfg = RenderConfig(
-        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=256,
+        bound=bound, min_near=0.05, dt_gamma=dt_gamma, max_steps=256,
         max_samples_per_ray=32, grid_size=128, density_thresh=10.0,
         turbo=True, coarse_candidates=96, crossing_slots=16,
         compact_mean_samples=8,
     )
-    net_cfg = NetworkConfig(
-        encoding="cpgrid", use_bf16=True,
-        cp_resolutions=(256, 512, 1024, 2048), cp_rank=64, cp_freq_degree=5,
-    )
+    if preset == "turbo-hq":
+        net_cfg = NetworkConfig(
+            encoding="cpgrid", use_bf16=True,
+            cp_resolutions=(128, 256, 512, 1024, 2048), cp_rank=128,
+            cp_freq_degree=6,
+        )
+    else:
+        net_cfg = NetworkConfig(
+            encoding="cpgrid", use_bf16=True,
+            cp_resolutions=(256, 512, 1024, 2048), cp_rank=64, cp_freq_degree=5,
+        )
     train_cfg = TrainConfig(
-        iters=30000, lr=1e-2, num_rays=16384, workspace="/tmp/turbo_ws",
+        iters=30000, lr=1e-2, num_rays=n_rays, workspace="/tmp/turbo_ws",
         update_extra_interval=16,
     )
     model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
@@ -58,8 +89,10 @@ def main():
             if done % 100 == 0:
                 jax.block_until_ready(metrics)
                 losses.append(float(metrics["loss"]))
-                print(f"step {done}: loss {losses[-1]:.5f}  "
-                      f"({(time.perf_counter()-t_start):.1f}s elapsed)")
+                ovf = float(metrics.get("turbo_overflow", 0.0))
+                print(f"step {done}: loss {losses[-1]:.5f} overflow {ovf:.3f} "
+                      f"({(time.perf_counter()-t_start):.1f}s elapsed)",
+                      flush=True)
             if done == n_steps - 256:
                 jax.block_until_ready(metrics)
                 window_t0 = time.perf_counter()
@@ -74,7 +107,9 @@ def main():
     occ_frac = float(jnp.mean(trainer.aux["occ"].occ_grid.astype(jnp.float32)))
     print(f"occ fraction: {occ_frac:.3f}")
 
-    res = trainer.evaluate(val_ds, with_ssim=False)
+    res = trainer.evaluate(
+        val_ds, with_ssim=os.environ.get("NGP_EVAL_SSIM", "0") == "1"
+    )
     print("eval:", res)
 
 

@@ -88,7 +88,7 @@ def main():
         m = om.march_rays_turbo(ro_, rd_, state, render_cfg,
                                 rng=jax.random.fold_in(jax.random.PRNGKey(1), i),
                                 perturb=True)
-        return m["mask"], m["lat"]
+        return m["mask"], m["ts"]
     timeit("march only", lambda i: march_only(ro[i % POOL], rd[i % POOL], i))
 
     # march + compact + rr + place + composite, no net at all
@@ -98,10 +98,9 @@ def main():
                                 rng=jax.random.fold_in(jax.random.PRNGKey(1), i),
                                 perturb=True)
         budget = N * render_cfg.compact_mean_samples
-        src, valid, offsets, lat_c = om.compact_valid_samples(m["mask"], budget, extra=m["lat"])
-        ray_row = jnp.concatenate([ro_, rd_, m["t0"][:, None], jnp.zeros((N, 1))], -1)
+        src, valid, offsets, t_c = om.compact_valid_samples(m["mask"], budget, extra=m["ts"])
+        ray_row = jnp.concatenate([ro_, rd_, jnp.zeros((N, 2))], -1)
         rr = jnp.take(ray_row, src // S, axis=0)
-        t_c = rr[:, 6] + lat_c.astype(jnp.float32) * m["dt"]
         pts = jnp.clip(rr[:, 0:3] + rr[:, 3:6] * t_c[:, None], -1, 1)
         vals = jnp.concatenate([jnp.sum(pts, -1, keepdims=True), pts], -1)
         placed = om.place_compact(vals, offsets, src, S)

@@ -67,6 +67,99 @@ def test_nerf_error_map_training(synth_root, tmp_path):
     assert (em_before != em_after).any()
 
 
+def test_render_frames_matches_per_frame(synth_root, tmp_path):
+    """Batched multi-frame rendering (one dispatch) must reproduce the
+    per-frame path exactly — same perm, cull, chunking per frame."""
+    val_ds = NeRFDataset(synth_root, split="val", scale=0.8)
+    trainer = _mk_trainer(synth_root, tmp_path)
+    trainer.ensure_initialized()
+    poses = np.asarray(val_ds.poses[:2], np.float32)
+    imgs, deps = trainer.render_frames(
+        poses, val_ds.intrinsics, val_ds.H, val_ds.W
+    )
+    for i in range(2):
+        img1, dep1 = trainer.render_frame(
+            poses[i], val_ds.intrinsics, val_ds.H, val_ds.W
+        )
+        np.testing.assert_allclose(imgs[i], img1, atol=1e-5)
+        np.testing.assert_allclose(deps[i], dep1, atol=1e-2)
+
+
+def test_lpips_reported_in_evaluate(synth_root, tmp_path):
+    """--lpips_weights wiring: evaluate() reports LPIPS when weights
+    are configured (reference nerf/utils.py:280-314). Random perceptual
+    weights (no downloads in this image) — the wiring, not the metric
+    values, is under test."""
+    import jax
+
+    from ngp_tpu.training.lpips import random_params
+
+    val_ds = NeRFDataset(synth_root, split="val", scale=0.8)
+    trainer = _mk_trainer(synth_root, tmp_path)
+    trainer.ensure_initialized()
+    trainer.lpips_weights = random_params(jax.random.PRNGKey(0))
+    result = trainer.evaluate(val_ds, max_frames=1)
+    assert "lpips" in result and np.isfinite(result["lpips"])
+
+
+def _turbo_trainer(tmp_path, **render_kw):
+    from ngp_tpu.training.nerf_grid import GridNeRFTrainer
+
+    kw = dict(
+        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=64,
+        max_samples_per_ray=16, grid_size=32, density_thresh=10.0,
+        turbo=True, coarse_candidates=64, crossing_slots=16,
+        compact_mean_samples=8,
+    )
+    kw.update(render_kw)
+    render_cfg = RenderConfig(**kw)
+    net_cfg = NetworkConfig(
+        encoding="cpgrid", use_bf16=False,
+        cp_resolutions=(32, 64, 128), cp_rank=16, cp_freq_degree=4,
+    )
+    train_cfg = TrainConfig(
+        iters=400, lr=1e-2, num_rays=1024, workspace=str(tmp_path), seed=0
+    )
+    model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
+    return GridNeRFTrainer(
+        model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False
+    )
+
+
+def test_turbo_adaptive_dt_trains_on_synthetic(synth_root, tmp_path):
+    """End-to-end PSNR improvement through the flagship turbo path with
+    ADAPTIVE stepping (dt_gamma=1/128, the reference's default for real
+    captures) — round 2 only supported dt_gamma=0 on this path."""
+    train_ds = NeRFDataset(synth_root, split="train", scale=0.8)
+    val_ds = NeRFDataset(synth_root, split="val", scale=0.8)
+    trainer = _turbo_trainer(tmp_path, dt_gamma=1 / 128)
+    trainer.ensure_initialized()
+    before = trainer.evaluate(val_ds, max_frames=1)["psnr"]
+    trainer.train_on_dataset(train_ds, valid_ds=None, max_epochs=40)
+    after = trainer.evaluate(val_ds, max_frames=1)["psnr"]
+    print(f"turbo adaptive PSNR: {before:.2f} -> {after:.2f}")
+    assert after > before + 5.0, (before, after)
+    assert after > 15.0, after
+
+
+def test_turbo_overflow_metric_in_step(synth_root, tmp_path):
+    """The jitted train step reports turbo_overflow, and a scene denser
+    than the budgets trips it (VERDICT r2: budget overflow must be
+    observable)."""
+    train_ds = NeRFDataset(synth_root, split="train", scale=0.8)
+    # generous budgets: overflow only from the fully-occupied initial
+    # grid; tight budgets: persistent overflow
+    trainer = _turbo_trainer(tmp_path, crossing_slots=2,
+                             coarse_candidates=8, compact_mean_samples=2)
+    trainer.ensure_initialized()
+    epoch_iter = trainer.make_loader(train_ds)
+    batch = next(iter(epoch_iter()))
+    metrics = trainer.step(batch)
+    assert "turbo_overflow" in metrics
+    # the initial grid is fully occupied — these tiny budgets must drop
+    assert float(metrics["turbo_overflow"]) > 0.05
+
+
 def test_turbo_flagship_trains_on_synthetic(synth_root, tmp_path):
     """End-to-end PSNR improvement through the FLAGSHIP path: cpgrid
     encoder + turbo march + sample compaction (the bench/turbo preset

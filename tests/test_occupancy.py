@@ -249,6 +249,67 @@ def test_march_reaches_far_at_bound2_dt_gamma0():
     )
 
 
+def test_mark_untrained_matches_jnp_oracle():
+    """mark_untrained_grid is staged in host numpy (one-time startup
+    geometry; eager jnp through the TPU tunnel costs seconds/op) — it
+    must produce exactly the grid of the chunked-jnp formulation it
+    replaced (round-2 implementation, kept here as the oracle)."""
+    from ngp_tpu.models.occupancy import mark_untrained_grid
+
+    cfg = RenderConfig(bound=2.0, grid_size=16)
+    rng = np.random.default_rng(3)
+    state = init_occupancy(cfg).replace(
+        density_grid=jnp.asarray(
+            rng.random((cfg.cascades,) + (cfg.grid_size,) * 3).astype(np.float32)
+        )
+    )
+    # a couple of inward-looking cameras
+    poses = []
+    for ang in (0.3, 2.1, 4.0):
+        z = np.array([np.cos(ang), 0.1, np.sin(ang)], np.float32)
+        z /= np.linalg.norm(z)
+        x = np.cross([0, 1, 0], z).astype(np.float32)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 0], pose[:3, 1], pose[:3, 2] = x, y, z
+        pose[:3, 3] = -3.0 * z
+        poses.append(pose)
+    poses = jnp.asarray(np.stack(poses))
+    intr = jnp.asarray([30.0, 30.0, 16.0, 12.0])
+
+    new = mark_untrained_grid(state, poses, intr, 32, 24, cfg)
+
+    # oracle: the plain-jnp per-cascade formulation
+    Hg = cfg.grid_size
+    fx, fy, cx, cy = 30.0, 30.0, 16.0, 12.0
+    xx, yy, zz = jnp.meshgrid(
+        jnp.arange(Hg), jnp.arange(Hg), jnp.arange(Hg), indexing="ij"
+    )
+    base = 2.0 * jnp.stack([xx, yy, zz], -1).reshape(-1, 3).astype(jnp.float32) / (Hg - 1) - 1.0
+    rot = poses[:, :3, :3]
+    trans = poses[:, :3, 3]
+    expect = np.asarray(state.density_grid).copy()
+    for c in range(cfg.cascades):
+        bound = min(2.0**c, cfg.bound)
+        half = bound / Hg
+        pts = base * (bound - half)
+        rel = pts[None, :, :] - trans[:, None, :]
+        cam = jnp.einsum("pij,pmj->pmi", rot.transpose(0, 2, 1), rel)
+        z = cam[..., 2]
+        vis = jnp.any(
+            (z > 0.01)
+            & (jnp.abs(cam[..., 0]) < cx / fx * z + 2 * half)
+            & (jnp.abs(cam[..., 1]) < cy / fy * z + 2 * half),
+            axis=0,
+        ).reshape(Hg, Hg, Hg)
+        expect[c] = np.where(np.asarray(vis), expect[c], -1.0)
+    np.testing.assert_array_equal(np.asarray(new.density_grid), expect)
+    # some cells must actually be culled, some kept
+    assert (np.asarray(new.density_grid) == -1).any()
+    assert (np.asarray(new.density_grid) >= 0).any()
+
+
 def test_bitfield_reference_morton_order():
     """bitfield() bit m must be the cell at morton3d_invert(m) — the
     reference writes density at Morton codes (renderer.py:459-462)

@@ -76,6 +76,105 @@ def test_turbo_march_bound2_cascades():
     np.testing.assert_allclose(np.asarray(m1["ts"]), np.asarray(m2["ts"]), atol=1e-6)
 
 
+def test_turbo_march_adaptive_dt_matches_v1():
+    """dt_gamma > 0 (the reference's default for real captures,
+    main_nerf.py:33 dt_gamma=1/128): the turbo march must reproduce the
+    v1 marcher's adaptive clamp-recurrence lattice exactly."""
+    cfg = _cfg(
+        dt_gamma=1 / 128, max_steps=128, coarse_candidates=256,
+        crossing_slots=128, max_samples_per_ray=32,
+    )
+    state = _random_state(cfg, frac=0.3)
+    ro, rd = _rays(seed=21)
+    m1 = march_rays(ro, rd, state, cfg)
+    m2 = march_rays_turbo(ro, rd, state, cfg)
+    np.testing.assert_array_equal(np.asarray(m1["mask"]), np.asarray(m2["mask"]))
+    mask = np.asarray(m1["mask"])
+    np.testing.assert_array_equal(
+        np.asarray(m1["ts"])[mask], np.asarray(m2["ts"])[mask]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m1["deltas"])[mask], np.asarray(m2["deltas"])[mask]
+    )
+
+
+def test_turbo_march_adaptive_bound2():
+    """Adaptive stepping across cascades (bound=2, dt_gamma=1/128) —
+    the exact configuration of real colmap scenes that round 2 only
+    supported on the slow v1 path."""
+    cfg = _cfg(
+        bound=2.0, dt_gamma=1 / 128, max_steps=128,
+        coarse_candidates=256, crossing_slots=128, max_samples_per_ray=32,
+    )
+    state = _random_state(cfg, seed=4, frac=0.4)
+    ro, rd = _rays(seed=23)
+    m1 = march_rays(ro, rd, state, cfg)
+    m2 = march_rays_turbo(ro, rd, state, cfg)
+    np.testing.assert_array_equal(np.asarray(m1["mask"]), np.asarray(m2["mask"]))
+    mask = np.asarray(m1["mask"])
+    np.testing.assert_array_equal(
+        np.asarray(m1["ts"])[mask], np.asarray(m2["ts"])[mask]
+    )
+
+
+def test_turbo_march_adaptive_perturb_matches_v1():
+    cfg = _cfg(dt_gamma=1 / 128, max_steps=128, coarse_candidates=256,
+               crossing_slots=128, max_samples_per_ray=32)
+    state = _random_state(cfg, frac=0.3)
+    ro, rd = _rays(seed=29)
+    k = jax.random.PRNGKey(5)
+    m1 = march_rays(ro, rd, state, cfg, rng=k, perturb=True)
+    m2 = march_rays_turbo(ro, rd, state, cfg, rng=k, perturb=True)
+    np.testing.assert_array_equal(np.asarray(m1["mask"]), np.asarray(m2["mask"]))
+    mask = np.asarray(m1["mask"])
+    np.testing.assert_array_equal(
+        np.asarray(m1["ts"])[mask], np.asarray(m2["ts"])[mask]
+    )
+
+
+def test_adaptive_lattice_reaches_far():
+    """lattice_probes for dt_gamma>0 must span the full AABB chord even
+    when max_steps alone would fall short (bound=2, max_steps=256:
+    ~300 adaptive probes are needed)."""
+    from ngp_tpu.models.occupancy import lattice_probes, t_lattice
+
+    cfg = RenderConfig(bound=2.0, min_near=0.05, dt_gamma=1 / 128,
+                       max_steps=256, grid_size=32)
+    K = lattice_probes(cfg)
+    nears = jnp.asarray([cfg.min_near])
+    fars = jnp.asarray([cfg.min_near + 2 * np.sqrt(3) * cfg.bound])
+    ts, dts = t_lattice(nears, fars, cfg)
+    assert ts.shape[1] == K
+    # worst-case ray (enters at min_near): last probe reaches its far
+    assert float(ts[0, -1]) >= float(fars[0])
+    # and the lattice obeys the reference recurrence
+    # dt = clamp(t*gamma, dt_min, dt_max) (raymarching.cu:345-346)
+    dt_min = 2 * np.sqrt(3) / cfg.max_steps
+    dt_max = 2 * np.sqrt(3) * (2 ** (cfg.cascades - 1)) / cfg.grid_size
+    t = np.asarray(ts[0])
+    d = np.asarray(dts[0])
+    np.testing.assert_allclose(
+        d, np.clip(t * cfg.dt_gamma, dt_min, dt_max), rtol=1e-6
+    )
+    np.testing.assert_allclose(t[1:], (t + d)[:-1], rtol=1e-6)
+
+
+def test_turbo_overflow_counter():
+    """n_dropped reports budget overflow; ample budgets report zero."""
+    # ample: candidates = lattice length, S = lattice length => nothing
+    # can ever be dropped
+    cfg_full = _cfg(max_samples_per_ray=64)
+    cfg_tight = _cfg(crossing_slots=2, coarse_candidates=8,
+                     max_samples_per_ray=4)
+    state = _random_state(cfg_full, frac=0.5)
+    ro, rd = _rays(n=16, seed=31)
+    mf = march_rays_turbo(ro, rd, state, cfg_full)
+    mt = march_rays_turbo(ro, rd, state, cfg_tight)
+    assert int(np.asarray(mf["n_dropped"]).sum()) == 0
+    # tight budgets on a 50%-occupied scene must drop something
+    assert int(np.asarray(mt["n_dropped"]).sum()) > 0
+
+
 def test_crossing_budget_drops_far_first():
     # tiny crossing budget: near samples must survive, far ones drop
     cfg_full = _cfg()
@@ -93,6 +192,25 @@ def test_crossing_budget_drops_far_first():
         np.testing.assert_allclose(
             np.asarray(mt["ts"])[i, :k], np.asarray(mf["ts"])[i, :k], atol=1e-6
         )
+
+
+def test_coarse_lookup_pallas_kernel():
+    """Pallas coarse-lookup (ops/pallas/march_kernels.py) matches the
+    XLA one-hot formulation bit-for-bit (interpret mode on CPU)."""
+    from ngp_tpu.models.occupancy import _coarse_lookup
+    from ngp_tpu.ops.pallas.march_kernels import coarse_lookup_bits
+
+    rng = np.random.default_rng(17)
+    R = 16  # payload rows; cells = R * 1024
+    payload = jnp.asarray(
+        rng.integers(0, 256, size=(R, 128)).astype(np.float32)
+    )
+    fc = jnp.asarray(
+        rng.integers(0, R * 1024, size=(7, 193)).astype(np.int32)
+    )
+    ref = _coarse_lookup(payload, fc)
+    got = coarse_lookup_bits(payload, fc, block=256)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 def test_compact_and_place_roundtrip():
