@@ -40,6 +40,13 @@ class GridNeRFTrainer(NeRFTrainer):
         # chunk sees frame-average occupancy, which makes a small mean
         # budget safe (None = full no-drop budget)
         self.eval_mean_samples: Optional[int] = 8
+        # eval-only probe-lattice stride: >1 marches the frame with
+        # max_steps/stride probes (dt_min grows by the stride) — the
+        # march's fixed per-chunk cost (coarse lookup + selection) drops
+        # ~linearly; a converged occupancy grid keeps the quality cost
+        # small. The TPU analog of the reference inference loop's
+        # larger effective steps once rays die (renderer.py:336-367).
+        self.eval_probe_stride: int = 1
 
     def init_aux(self) -> Any:
         return {"occ": init_occupancy(self.render_cfg)}
@@ -53,6 +60,13 @@ class GridNeRFTrainer(NeRFTrainer):
         # eval-budget override only applies outside training steps
         # (training passes rng+perturb)
         max_samples = None if perturb else self.eval_max_samples
+        cfg = self.render_cfg
+        if not perturb and self.eval_probe_stride > 1:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, max_steps=max(cfg.max_steps // self.eval_probe_stride, 16)
+            )
         if self.render_cfg.turbo:
             # eval budget: eval_mean_samples per ray on average (safe —
             # render_frame shuffles rays so chunks are frame-average);
@@ -66,11 +80,11 @@ class GridNeRFTrainer(NeRFTrainer):
             # first occupancy refreshes sparsify it.
             budget = None
             if not perturb:
-                S = max_samples or self.render_cfg.max_samples_per_ray
+                S = max_samples or cfg.max_samples_per_ray
                 ems = self.eval_mean_samples
                 budget = rays_o.shape[0] * (S if ems is None else min(ems, S))
             return render_rays_grid_turbo(
-                density_fn, color_fn, rays_o, rays_d, occ, self.render_cfg,
+                density_fn, color_fn, rays_o, rays_d, occ, cfg,
                 rng=rng, perturb=perturb, bg_color=bg_color, bg_fn=bg_fn,
                 max_samples=max_samples, budget=budget, aabb=aabb,
             )
@@ -80,7 +94,7 @@ class GridNeRFTrainer(NeRFTrainer):
             rays_o,
             rays_d,
             occ,
-            self.render_cfg,
+            cfg,
             rng=rng,
             perturb=perturb,
             bg_color=bg_color,
