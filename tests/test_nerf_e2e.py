@@ -85,6 +85,49 @@ def test_render_frames_matches_per_frame(synth_root, tmp_path):
         np.testing.assert_allclose(deps[i], dep1, atol=1e-2)
 
 
+def test_render_frames_cache_and_crop(synth_root, tmp_path):
+    """The device-resident index cache must not leak between cull
+    states: a full-frame render (cache hit), then an aabb_infer crop
+    (cull path), then full-frame again must reproduce the first."""
+    val_ds = NeRFDataset(synth_root, split="val", scale=0.8)
+    trainer = _mk_trainer(synth_root, tmp_path)
+    trainer.ensure_initialized()
+    pose = np.asarray(val_ds.poses[0], np.float32)
+    img1, _ = trainer.render_frame(pose, val_ds.intrinsics, 32, 32)
+    assert trainer._device_inds_cache  # populated by the no-cull path
+    trainer.aabb_infer = [-0.2, -0.2, -0.2, 0.2, 0.2, 0.2]
+    img_crop, _ = trainer.render_frame(pose, val_ds.intrinsics, 32, 32)
+    trainer.aabb_infer = None
+    img2, _ = trainer.render_frame(pose, val_ds.intrinsics, 32, 32)
+    np.testing.assert_allclose(img1, img2, atol=1e-6)
+    assert not np.allclose(img1, img_crop)
+
+
+def test_eval_probe_stride(synth_root, tmp_path):
+    """eval_probe_stride>1 renders eval frames on the coarser lattice:
+    result matches an explicit max_steps/stride config, and training
+    steps are unaffected (stride applies only outside perturb)."""
+    import jax
+
+    from ngp_tpu.models.occupancy import lattice_probes
+
+    val_ds = NeRFDataset(synth_root, split="val", scale=0.8)
+    trainer = _turbo_trainer(tmp_path)
+    trainer.ensure_initialized()
+    pose = np.asarray(val_ds.poses[0], np.float32)
+    trainer.eval_probe_stride = 2
+    img_s2, _ = trainer.render_frame(pose, val_ds.intrinsics, 32, 32)
+
+    import dataclasses
+
+    explicit = _turbo_trainer(tmp_path, max_steps=32)
+    explicit.ensure_initialized()
+    explicit.state = trainer.state  # same params
+    explicit.aux = trainer.aux
+    img_ref, _ = explicit.render_frame(pose, val_ds.intrinsics, 32, 32)
+    np.testing.assert_allclose(img_s2, img_ref, atol=1e-6)
+
+
 def test_lpips_reported_in_evaluate(synth_root, tmp_path):
     """--lpips_weights wiring: evaluate() reports LPIPS when weights
     are configured (reference nerf/utils.py:280-314). Random perceptual
