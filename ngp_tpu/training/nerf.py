@@ -358,15 +358,21 @@ class NeRFTrainer(Trainer):
 
     def render_frames(
         self, poses, intrinsics, H: int, W: int, chunk: int = 0, params=None,
-        want_depth: bool = True,
+        want_depth: bool = True, async_result: bool = False,
     ):
         """Render a GROUP of frames in one device dispatch.
 
         poses [F, 4, 4] -> (images [F, H, W, 3], depths [F, H, W]).
-        Eval/test loop through here in groups of ``eval_frame_group``
-        so the per-dispatch tunnel round trip amortizes over F frames
-        (VERDICT r2: per-frame host calls cost minutes over a 100-frame
-        split).
+
+        ``async_result=True`` returns a zero-arg ``finalize()`` callable
+        instead: the device work is dispatched but the host transfer +
+        scatter are deferred until finalize(), so callers can pipeline
+        the next dispatch behind the current transfer/postprocess (see
+        _render_split). Measured caveat: through the remote-TPU relay,
+        dispatch appears to block until execution completes, so the
+        pipeline hides only the consumer's host work there (~nothing
+        at 800x800); on a local device, where JAX dispatch is truly
+        async, it also overlaps device compute with the transfer.
         """
         self.ensure_initialized()
         chunk = chunk or self.max_ray_batch
@@ -413,6 +419,7 @@ class NeRFTrainer(Trainer):
         fid_cat = np.concatenate(fids)
         images = np.ones((F, n, 3), np.float32)  # bg_color = 1.0 (below)
         depths = np.zeros((F, n), np.float32)
+        img = dep = None
         m = sel_cat.size
         if m:
             # bucket the chunk COUNT (pow2 up to 8, then multiples of
@@ -451,14 +458,18 @@ class NeRFTrainer(Trainer):
                 di, df,
                 jnp.asarray(aabb_eff),
             )
-            images[fid_cat, sel_cat] = (
-                np.asarray(img).reshape(-1, 3)[:m].astype(np.float32) / 255.0
-            )
-            if want_depth:  # skip the depth transfer when unused (eval)
-                depths[fid_cat, sel_cat] = (
-                    np.asarray(dep).astype(np.float32).reshape(-1)[:m]
+        def finalize():
+            if img is not None:
+                images[fid_cat, sel_cat] = (
+                    np.asarray(img).reshape(-1, 3)[:m].astype(np.float32) / 255.0
                 )
-        return images.reshape(F, H, W, 3), depths.reshape(F, H, W)
+                if want_depth:  # skip the depth transfer when unused
+                    depths[fid_cat, sel_cat] = (
+                        np.asarray(dep).astype(np.float32).reshape(-1)[:m]
+                    )
+            return images.reshape(F, H, W, 3), depths.reshape(F, H, W)
+
+        return finalize if async_result else finalize()
 
     def _project_aabb_bbox(self, pose, intrinsics, H: int, W: int, aabb=None):
         """Conservative pixel bbox of the scene AABB: project its 8
@@ -567,11 +578,17 @@ class NeRFTrainer(Trainer):
 
     def _render_split(self, dataset: NeRFDataset, n: int):
         """Yield (first_index, images, depths) over a split in groups of
-        ``eval_frame_group`` frames per device dispatch (amortizes the
-        per-dispatch tunnel round trip; the group is padded by repeating
-        the last pose so ONE group shape compiles)."""
+        ``eval_frame_group`` frames per device dispatch, PIPELINED one
+        group deep: group g+1's device work is dispatched before group
+        g's transfer + the consumer's metric/PNG host work (the TPU
+        answer to the reference's synchronous test_step loop,
+        nerf/utils.py:665-713). On a local device this keeps the chip
+        busy during host work; through the remote relay (synchronous
+        dispatch) it is wall-neutral. Groups are padded by repeating
+        the last pose so ONE group shape compiles."""
         group = max(1, int(getattr(self, "eval_frame_group", 8)))
         group = min(group, n)
+        pending = None  # (g0, gF, finalize)
         for g0 in range(0, n, group):
             gF = min(group, n - g0)
             poses = np.asarray(dataset.poses[g0 : g0 + gF], np.float32)
@@ -579,11 +596,19 @@ class NeRFTrainer(Trainer):
                 poses = np.concatenate(
                     [poses, np.repeat(poses[-1:], group - gF, axis=0)]
                 )
-            imgs, deps = self.render_frames(
+            fin = self.render_frames(
                 poses, dataset.intrinsics, dataset.H, dataset.W,
-                want_depth=False,
+                want_depth=False, async_result=True,
             )
-            yield g0, imgs[:gF], deps[:gF]
+            if pending is not None:
+                p0, pF, pfin = pending
+                imgs, deps = pfin()
+                yield p0, imgs[:pF], deps[:pF]
+            pending = (g0, gF, fin)
+        if pending is not None:
+            p0, pF, pfin = pending
+            imgs, deps = pfin()
+            yield p0, imgs[:pF], deps[:pF]
 
     def test(self, dataset: NeRFDataset, write_video: bool = True) -> str:
         """Render a test split; write frames and an mp4 (utils.py:665-713)."""
