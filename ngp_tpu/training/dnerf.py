@@ -266,7 +266,10 @@ class DNeRFTrainer(GridNeRFTrainer):
         if pad:
             ro = np.concatenate([ro, np.tile(ro[-1:], (pad, 1))])
             rd = np.concatenate([rd, np.tile(rd[-1:], (pad, 1))])
-        if self._jit_render_chunk is None:
+        # keyed by chunk + the eval dials render_batch reads at trace
+        # time (same staleness rule as NeRFTrainer._chunk_renderer)
+        key = ("dnerf", chunk) + self._eval_dial_key()
+        if key not in self._jit_render_chunks:
             @jax.jit
             def render_frame_fn(params, aux, ro_chunks, rd_chunks, time):
                 def one(args):
@@ -278,8 +281,8 @@ class DNeRFTrainer(GridNeRFTrainer):
 
                 return jax.lax.map(one, (ro_chunks, rd_chunks))
 
-            self._jit_render_chunk = render_frame_fn
-        img, dep = self._jit_render_chunk(
+            self._jit_render_chunks[key] = render_frame_fn
+        img, dep = self._jit_render_chunks[key](
             params, self.aux, jnp.asarray(ro.reshape(-1, chunk, 3)),
             jnp.asarray(rd.reshape(-1, chunk, 3)), jnp.float32(time),
         )

@@ -67,7 +67,12 @@ class NeRFTrainer(Trainer):
         self.train_cfg = train_cfg
         self.criterion = criterion
         self._jit_render_chunk = None  # (dnerf's own frame renderer)
-        self._jit_render_chunks = {}  # keyed by (chunk, H, W)
+        # keyed by (chunk, H, W) + _eval_dial_key(): the eval dials are
+        # read at TRACE time inside render_batch, so they are part of
+        # the compiled function's identity — keying them here makes a
+        # dial change retrace instead of silently reusing a stale
+        # renderer (the GUI changes dials live, viewer.py)
+        self._jit_render_chunks = {}
         # inference crop box [xmin,ymin,zmin,xmax,ymax,zmax] or None
         # (GUI aabb_infer sliders, nerf/gui.py:316-338)
         self.aabb_infer = None
@@ -287,6 +292,20 @@ class NeRFTrainer(Trainer):
 
     # ---- eval / inference -------------------------------------------------
 
+    def _eval_dial_key(self):
+        """Hashable fingerprint of every eval-time dial that
+        render_batch reads at trace time. Any attribute that changes
+        the traced eval computation MUST appear here, or a live dial
+        change (GUI sliders) silently reuses a stale compiled
+        renderer."""
+        return (
+            getattr(self, "eval_max_samples", None),
+            getattr(self, "eval_mean_samples", None),
+            getattr(self, "eval_probe_stride", 1),
+            getattr(self, "eval_coarse_candidates", None),
+            getattr(self, "eval_crossing_slots", None),
+        )
+
     def _chunk_renderer(self, chunk: int, H: int, W: int):
         """Multi-frame renderer: lax.map over PIXEL-INDEX chunks inside
         one jit call; each ray carries a frame id and unprojects through
@@ -298,7 +317,7 @@ class NeRFTrainer(Trainer):
         chunk (~1 s each); one dispatch renders a whole GROUP of eval
         frames with peak memory of a single chunk (the reference loops
         frames through test_step, nerf/utils.py:665-713)."""
-        key = (chunk, H, W)
+        key = (chunk, H, W) + self._eval_dial_key()
         if key not in self._jit_render_chunks:
             @jax.jit
             def render_frame_fn(params, aux, poses, intrinsics, inds_chunks,

@@ -47,6 +47,14 @@ class GridNeRFTrainer(NeRFTrainer):
         # small. The TPU analog of the reference inference loop's
         # larger effective steps once rays die (renderer.py:336-367).
         self.eval_probe_stride: int = 1
+        # eval-only march-budget overrides (None = training config).
+        # The march bisect (scripts/microbench_evalpath.py) puts ~46%
+        # of the eval chunk in the march; its candidate top_k, crossing
+        # one-hots and fine-payload gathers all scale with these two
+        # budgets, and an eval frame needs fewer of both than training
+        # (rays are frame-shuffled, the grid is converged).
+        self.eval_coarse_candidates: Optional[int] = None
+        self.eval_crossing_slots: Optional[int] = None
 
     def init_aux(self) -> Any:
         return {"occ": init_occupancy(self.render_cfg)}
@@ -61,12 +69,20 @@ class GridNeRFTrainer(NeRFTrainer):
         # (training passes rng+perturb)
         max_samples = None if perturb else self.eval_max_samples
         cfg = self.render_cfg
-        if not perturb and self.eval_probe_stride > 1:
+        if not perturb:
             import dataclasses
 
-            cfg = dataclasses.replace(
-                cfg, max_steps=max(cfg.max_steps // self.eval_probe_stride, 16)
-            )
+            over = {}
+            if self.eval_probe_stride > 1:
+                over["max_steps"] = max(
+                    cfg.max_steps // self.eval_probe_stride, 16
+                )
+            if self.eval_coarse_candidates is not None:
+                over["coarse_candidates"] = int(self.eval_coarse_candidates)
+            if self.eval_crossing_slots is not None:
+                over["crossing_slots"] = int(self.eval_crossing_slots)
+            if over:
+                cfg = dataclasses.replace(cfg, **over)
         if self.render_cfg.turbo:
             # eval budget: eval_mean_samples per ray on average (safe —
             # render_frame shuffles rays so chunks are frame-average);

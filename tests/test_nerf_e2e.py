@@ -128,6 +128,40 @@ def test_eval_probe_stride(synth_root, tmp_path):
     np.testing.assert_allclose(img_s2, img_ref, atol=1e-6)
 
 
+def test_eval_march_dials(synth_root, tmp_path):
+    """eval_coarse_candidates / eval_crossing_slots override the march
+    budgets for EVAL renders only: results match an explicit config
+    with those budgets, and a dial change retraces (the compiled
+    renderer is keyed by _eval_dial_key, so live GUI changes can never
+    reuse a stale trace)."""
+    val_ds = NeRFDataset(synth_root, split="val", scale=0.8)
+    trainer = _turbo_trainer(tmp_path)
+    trainer.ensure_initialized()
+    pose = np.asarray(val_ds.poses[0], np.float32)
+    img_base, _ = trainer.render_frame(pose, val_ds.intrinsics, 32, 32)
+    n_traces = len(trainer._jit_render_chunks)
+
+    trainer.eval_coarse_candidates = 32
+    trainer.eval_crossing_slots = 8
+    img_dial, _ = trainer.render_frame(pose, val_ds.intrinsics, 32, 32)
+    assert len(trainer._jit_render_chunks) == n_traces + 1  # retraced
+
+    explicit = _turbo_trainer(tmp_path, coarse_candidates=32,
+                              crossing_slots=8)
+    explicit.ensure_initialized()
+    explicit.state = trainer.state  # same params
+    explicit.aux = trainer.aux
+    img_ref, _ = explicit.render_frame(pose, val_ds.intrinsics, 32, 32)
+    np.testing.assert_allclose(img_dial, img_ref, atol=1e-6)
+
+    # dials back to None reuse the FIRST trace and reproduce it
+    trainer.eval_coarse_candidates = None
+    trainer.eval_crossing_slots = None
+    img_back, _ = trainer.render_frame(pose, val_ds.intrinsics, 32, 32)
+    assert len(trainer._jit_render_chunks) == n_traces + 1
+    np.testing.assert_allclose(img_back, img_base, atol=1e-6)
+
+
 def test_lpips_reported_in_evaluate(synth_root, tmp_path):
     """--lpips_weights wiring: evaluate() reports LPIPS when weights
     are configured (reference nerf/utils.py:280-314). Random perceptual
