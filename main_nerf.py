@@ -77,10 +77,12 @@ def build_parser():
                         choices=["default", "hard"],
                         help="'hard': textured emission, 12 spheres, thin rods + torus")
     parser.add_argument(
-        "--encoding", type=str, default="hashgrid",
+        "--encoding", type=str, default=None,
         choices=["hashgrid", "tiledgrid", "brickgrid", "cpgrid", "frequency"],
-        help="spatial encoding; 'cpgrid' is the TPU flagship "
-             "(MXU-matmul CP factor banks, zero random memory access)",
+        help="spatial encoding (default hashgrid; -O without an explicit "
+             "choice selects the turbo-hq preset); 'cpgrid' is the TPU "
+             "flagship (MXU-matmul CP factor banks, zero random memory "
+             "access)",
     )
     parser.add_argument("--num_levels", type=int, default=16)
     parser.add_argument("--level_dim", type=int, default=2)
@@ -105,12 +107,20 @@ def build_parser():
     return parser
 
 
-def main():
-    opt = build_parser().parse_args()
+def resolve_opts(opt):
+    """Expand -O / --preset macro flags into concrete options (the
+    reference's flag-interaction block, main_nerf.py:67-84)."""
     if opt.O:
         opt.fp16 = True
         opt.cuda_ray = True
         opt.preload = True
+        # "-O = recommended settings" (main_nerf.py:67-70 in the
+        # reference). On TPU the recommended path is the flagship
+        # turbo-hq preset (hash-class quality at 1.47x the CUDA
+        # reference; works for dt_gamma>0 colmap captures too). An
+        # explicit --preset/--encoding choice wins.
+        if not opt.preset and opt.encoding is None:
+            opt.preset = "turbo-hq"
     if opt.patch_size > 1:
         opt.error_map = False
         assert opt.num_rays % (opt.patch_size**2) == 0
@@ -139,6 +149,15 @@ def main():
         opt.cp_rank = 128
         opt.cp_freq_degree = 6
         opt.cp_resolutions = [128, 256, 512, 1024, 2048]
+    if opt.encoding is None:
+        opt.encoding = "hashgrid"
+    opt.turbo = turbo
+    return opt
+
+
+def main():
+    opt = resolve_opts(build_parser().parse_args())
+    turbo = opt.turbo
 
     from ngp_tpu.config import NetworkConfig, RenderConfig, TrainConfig
     from ngp_tpu.data.nerf_dataset import NeRFDataset

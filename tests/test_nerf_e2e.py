@@ -269,3 +269,37 @@ def test_turbo_flagship_trains_on_synthetic(synth_root, tmp_path):
     print(f"turbo PSNR: {before:.2f} -> {after:.2f}")
     assert after > before + 5.0, (before, after)
     assert after > 15.0, after
+
+
+def test_main_nerf_O_selects_flagship():
+    """-O means 'recommended settings' (reference main_nerf.py:67-70):
+    on TPU that is the turbo-hq flagship preset — unless the user
+    explicitly picks a preset or encoding."""
+    import main_nerf
+
+    opt = main_nerf.resolve_opts(
+        main_nerf.build_parser().parse_args(["scene", "-O"])
+    )
+    assert opt.preset == "turbo-hq" and opt.turbo
+    assert opt.encoding == "cpgrid" and opt.cp_rank == 128
+
+    opt = main_nerf.resolve_opts(
+        main_nerf.build_parser().parse_args(
+            ["scene", "-O", "--encoding", "hashgrid"]
+        )
+    )
+    assert opt.preset == "" and not opt.turbo
+    assert opt.encoding == "hashgrid"
+
+    opt = main_nerf.resolve_opts(
+        main_nerf.build_parser().parse_args(
+            ["scene", "-O", "--preset", "turbo"]
+        )
+    )
+    assert opt.preset == "turbo" and opt.cp_rank == 64
+
+    # no -O: plain defaults, no preset
+    opt = main_nerf.resolve_opts(
+        main_nerf.build_parser().parse_args(["scene"])
+    )
+    assert opt.preset == "" and opt.encoding == "hashgrid"
