@@ -58,6 +58,16 @@ def main():
     parser.add_argument("--downscale", type=int, default=1)
     parser.add_argument("--epochs", type=int, default=0)
     opt = parser.parse_args()
+    # -O = recommended settings (reference main_tensoRF.py:107-110:
+    # fp16 + cuda_ray + preload). On TPU the accelerated marcher is the
+    # turbo path — model-agnostic (density/color callbacks), the same
+    # flagship march the NeRF workload uses.
+    turbo = False
+    if opt.O:
+        opt.fp16 = True
+        opt.cuda_ray = True
+        turbo = True
+        opt.max_steps = min(opt.max_steps, 256)
 
     from ngp_tpu.config import RenderConfig, TrainConfig
     from ngp_tpu.data.nerf_dataset import NeRFDataset
@@ -72,6 +82,9 @@ def main():
     render_cfg = RenderConfig(
         bound=opt.bound, min_near=opt.min_near, density_thresh=opt.density_thresh,
         bg_radius=opt.bg_radius, dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
+        turbo=turbo,
+        max_samples_per_ray=32 if turbo else 256,
+        compact_mean_samples=8,
     )
     train_cfg = TrainConfig(
         iters=opt.iters, lr=opt.lr0, num_rays=opt.num_rays, seed=opt.seed,

@@ -78,8 +78,13 @@ class NeRFTrainer(Trainer):
         self.aabb_infer = None
         self.use_grid = False  # switched on by the occupancy-grid subclass
         # rays per chunk for staged full-frame rendering (the
-        # reference's --max_ray_batch); 16384 suits v5e VMEM
-        self.max_ray_batch = 16384
+        # reference's --max_ray_batch). MEASURED on v5e (800x800 eval,
+        # ems=4/max16, PSNR identical): 4096 -> 393-464 ms/frame,
+        # 8192 -> 414, 16384 -> 487-587, 32768/65536 strictly worse —
+        # the compaction sort and top_k stages are super-linear in the
+        # chunk, so small chunks win even inside one lax.map dispatch.
+        # (The reference's own default is 4096, renderer.py:554.)
+        self.max_ray_batch = 4096
         # optional jnp image loss for random-pose guidance steps (the
         # reference's CLIP mode, utils.py:473-488); see
         # ngp_tpu.training.clip_guidance. Must be jit-traceable.

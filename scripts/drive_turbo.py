@@ -66,6 +66,11 @@ def main():
             encoding="cpgrid", use_bf16=True,
             cp_resolutions=(256, 512, 1024, 2048), cp_rank=64, cp_freq_degree=5,
         )
+    rank_env = os.environ.get("NGP_RANK")
+    if rank_env:  # capacity probes (e.g. rank-96 turbo-hq)
+        import dataclasses
+
+        net_cfg = dataclasses.replace(net_cfg, cp_rank=int(rank_env))
     train_cfg = TrainConfig(
         iters=30000, lr=1e-2, num_rays=n_rays, workspace="/tmp/turbo_ws",
         update_extra_interval=16,

@@ -162,3 +162,46 @@ def test_tensorf_checkpoint_resolution_roundtrip(tmp_path):
     np.testing.assert_allclose(t2.aabb, t1.aabb, atol=1e-6)
     r2 = t2.render_frame(train_ds.poses[0], train_ds.intrinsics, 16, 16)[0]
     np.testing.assert_allclose(r2, r1, atol=1e-5)
+
+
+def test_tensorf_trains_on_turbo_march(tmp_path):
+    """TensoRF through the TURBO march (render_rays_grid_turbo is
+    model-agnostic: density_fn/color_fn callbacks — the same flagship
+    path the NeRF workload uses). The reference runs TensoRF through
+    the same run_cuda marcher as NeRF (nerf/renderer.py:256)."""
+    from ngp_tpu.data.nerf_dataset import NeRFDataset
+    from ngp_tpu.data.synthetic import make_synthetic_dataset
+    from ngp_tpu.training.tensorf import TensoRFTrainer
+
+    root = str(tmp_path / "synth")
+    make_synthetic_dataset(root, n_train=6, n_val=1, n_test=1, H=64, W=64, num_steps=256)
+    train_ds = NeRFDataset(root, split="train", scale=0.8)
+    val_ds = NeRFDataset(root, split="val", scale=0.8)
+
+    render_cfg = RenderConfig(
+        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=64,
+        max_samples_per_ray=16, grid_size=32, density_thresh=10.0,
+        turbo=True, coarse_candidates=48, crossing_slots=16,
+        compact_mean_samples=8,
+    )
+    train_cfg = TrainConfig(
+        iters=200, lr=2e-2, num_rays=1024, workspace=str(tmp_path / "ws"),
+        update_extra_interval=8,
+    )
+    model = TensoRFNetwork(
+        resolution=(32, 32, 32), sigma_rank=(4, 4, 4), color_rank=(12, 12, 12),
+        hidden_dim=64,
+    )
+    trainer = TensoRFTrainer(
+        model, render_cfg, train_cfg,
+        upsample_model_steps=[60],
+        resolution0=32, resolution1=48,
+        log_every=10**9, use_tensorboard=False,
+    )
+    trainer.ensure_initialized()
+    before = trainer.evaluate(val_ds, max_frames=1)["psnr"]
+    trainer.train_on_dataset(train_ds, valid_ds=None, max_epochs=20)  # 120 steps
+    after = trainer.evaluate(val_ds, max_frames=1)["psnr"]
+    print(f"tensoRF-turbo PSNR: {before:.2f} -> {after:.2f}")
+    assert after > before + 4.0
+    assert trainer.current_resolution == (48, 48, 48)
