@@ -65,10 +65,20 @@ def main():
 
         make_synthetic_dataset(opt.path, dynamic=True)
 
+    # -O = recommended settings: on TPU the accelerated marcher is the
+    # turbo path (time-sliced packed payloads, dynamic_slice on the
+    # traced time — the CUDA kernel's bitfield[floor(time*T)] indexing,
+    # dnerf/renderer.py:283-285)
+    turbo = bool(opt.O)
     render_cfg = RenderConfig(
         bound=opt.bound, min_near=opt.min_near, density_thresh=opt.density_thresh,
-        dt_gamma=opt.dt_gamma, max_steps=opt.max_steps, time_size=opt.time_size,
+        dt_gamma=opt.dt_gamma,
+        max_steps=min(opt.max_steps, 256) if turbo else opt.max_steps,
+        time_size=opt.time_size,
         bg_radius=opt.bg_radius,
+        turbo=turbo,
+        max_samples_per_ray=32 if turbo else 256,
+        compact_mean_samples=8,
     )
     net_cfg = NetworkConfig(use_bf16=opt.fp16 or opt.O)
     train_cfg = TrainConfig(

@@ -775,11 +775,18 @@ def render_rays_grid_turbo(
     max_samples: Optional[int] = None,
     aabb: Optional[jnp.ndarray] = None,
     budget: Optional[int] = None,
+    return_geo: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Accelerated render v2: turbo march -> global valid-sample
     compaction -> network on the compact batch -> windowed placement ->
     masked compositing. Functionally the run_cuda path
     (renderer.py:256-321) with the reference's point-budget semantics.
+
+    ``return_geo=True`` additionally returns the density_fn's geometry
+    aux for the COMPACT batch (out["geo"], [budget, ...]) with its
+    validity mask (out["compact_valid"], [budget]) — D-NeRF's deform
+    regulariser (dnerf/utils.py:117-119) consumes the per-sample
+    deformation this way.
     """
     N = rays_o.shape[0]
     m = march_rays_turbo(
@@ -837,6 +844,9 @@ def render_rays_grid_turbo(
     # crossing / per-ray-S, far-first) + global-budget truncation here
     out["n_dropped"] = jnp.sum(m["n_dropped"]) + jnp.sum(m["mask"] & ~maskb)
     out["ts"], out["deltas"] = m["ts"], m["deltas"]  # for distortion loss
+    if return_geo:
+        out["geo"] = geo
+        out["compact_valid"] = valid_m
     return out
 
 

@@ -33,21 +33,40 @@ from ngp_tpu.training.state import apply_gradients, create_train_state
 
 @flax.struct.dataclass
 class TimeOccupancyState:
-    """[T]-sliced density grids (dnerf/renderer.py:92-100)."""
+    """[T]-sliced density grids (dnerf/renderer.py:92-100).
+
+    ``coarse_payload``/``fine_payload`` stack the turbo march's packed
+    occupancy payloads per slice (None on the v1 path) so the flagship
+    matmul march serves dynamic scenes too: the CUDA kernel indexes its
+    bitfield by floor(time*T) (dnerf/renderer.py:283-285); here the
+    payload slice is a dynamic_slice on the traced time."""
 
     density_grid: jnp.ndarray  # [T, CAS, H, H, H]
     occ_grid: jnp.ndarray  # [T, CAS, H, H, H] bool
     mean_density: jnp.ndarray
     iter_density: jnp.ndarray
+    coarse_payload: jnp.ndarray | None = None  # [T, rows, 128]
+    fine_payload: jnp.ndarray | None = None  # [T, CAS*Hc^3, 2] u32
 
 
 def init_time_occupancy(cfg: RenderConfig) -> TimeOccupancyState:
     H, cas, T = cfg.grid_size, cfg.cascades, cfg.time_size
+    occ = jnp.ones((T, cas, H, H, H), jnp.bool_)
+    cp = fp = None
+    if cfg.turbo:
+        from ngp_tpu.models.occupancy import pack_occupancy_payloads
+
+        # all slices start identical (fully occupied): pack once
+        cp1, fp1 = pack_occupancy_payloads(occ[0])
+        cp = jnp.broadcast_to(cp1[None], (T,) + cp1.shape)
+        fp = jnp.broadcast_to(fp1[None], (T,) + fp1.shape)
     return TimeOccupancyState(
         density_grid=jnp.zeros((T, cas, H, H, H), jnp.float32),
-        occ_grid=jnp.ones((T, cas, H, H, H), jnp.bool_),
+        occ_grid=occ,
         mean_density=jnp.float32(0.0),
         iter_density=jnp.int32(0),
+        coarse_payload=cp,
+        fine_payload=fp,
     )
 
 
@@ -62,6 +81,18 @@ def slice_at_time(state: TimeOccupancyState, time, cfg: RenderConfig) -> Occupan
         occ_grid=state.occ_grid[t_idx],
         mean_density=state.mean_density,
         iter_density=state.iter_density,
+        coarse_payload=(
+            None if state.coarse_payload is None
+            else jax.lax.dynamic_index_in_dim(
+                state.coarse_payload, t_idx, keepdims=False
+            )
+        ),
+        fine_payload=(
+            None if state.fine_payload is None
+            else jax.lax.dynamic_index_in_dim(
+                state.fine_payload, t_idx, keepdims=False
+            )
+        ),
     )
 
 
@@ -106,6 +137,27 @@ class DNeRFTrainer(GridNeRFTrainer):
         occ = aux["occ"] if aux is not None else init_time_occupancy(self.render_cfg)
         occ_slice = slice_at_time(occ, time, self.render_cfg)
         density_fn, color_fn = self._time_fns(params, time)
+        if self.render_cfg.turbo:
+            # flagship matmul march on the time slice; geometry aux
+            # (deform dx) comes back for the compact batch
+            from ngp_tpu.models.occupancy import render_rays_grid_turbo
+
+            max_samples = None if perturb else self.eval_max_samples
+            budget = None
+            if not perturb:
+                S = max_samples or self.render_cfg.max_samples_per_ray
+                ems = self.eval_mean_samples
+                budget = rays_o.shape[0] * (S if ems is None else min(ems, S))
+            out = render_rays_grid_turbo(
+                density_fn, color_fn, rays_o, rays_d, occ_slice,
+                self.render_cfg, rng=rng, perturb=perturb,
+                bg_color=bg_color if bg_color is not None else jnp.float32(1.0),
+                max_samples=max_samples, budget=budget, return_geo=True,
+            )
+            geo_pack = out.pop("geo")
+            out["deform"] = geo_pack[1]
+            out["sample_mask"] = out.pop("compact_valid")
+            return out
         m = march_rays(
             rays_o, rays_d, occ_slice, self.render_cfg, rng=rng, perturb=perturb
         )
@@ -207,16 +259,26 @@ class DNeRFTrainer(GridNeRFTrainer):
                         sl, density_fn, self.render_cfg, k,
                         density_scale=self.render_cfg.density_scale,
                     )
+                    # update_occupancy always re-packs the turbo
+                    # payloads for its slice; stack them per time slice
+                    # when the turbo march is active
+                    if self.render_cfg.turbo:
+                        return (sl.density_grid, sl.occ_grid,
+                                sl.mean_density, sl.coarse_payload,
+                                sl.fine_payload)
                     return sl.density_grid, sl.occ_grid, sl.mean_density
 
-                dgs, ogs, means = jax.lax.map(
+                outs = jax.lax.map(
                     one, (occ_state.density_grid, occ_state.occ_grid, keys, times)
                 )
+                dgs, ogs, means = outs[:3]
                 return TimeOccupancyState(
                     density_grid=dgs,
                     occ_grid=ogs,
                     mean_density=jnp.mean(means),
                     iter_density=occ_state.iter_density + 1,
+                    coarse_payload=outs[3] if len(outs) > 3 else None,
+                    fine_payload=outs[4] if len(outs) > 4 else None,
                 )
 
             self._jit_update_occ = jax.jit(upd_all)

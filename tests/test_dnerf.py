@@ -15,11 +15,13 @@ from ngp_tpu.training.dnerf import (
 
 
 def _cfgs(**render_kw):
-    render_cfg = RenderConfig(
+    kw = dict(
         bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=128,
         max_samples_per_ray=64, grid_size=16, time_size=8,
-        density_thresh=10.0, **render_kw,
+        density_thresh=10.0,
     )
+    kw.update(render_kw)
+    render_cfg = RenderConfig(**kw)
     net_cfg = NetworkConfig(num_levels=4, level_dim=2, log2_hashmap_size=12, use_bf16=False)
     return net_cfg, render_cfg
 
@@ -109,3 +111,63 @@ def test_dnerf_hyper_network_shapes():
     assert sigma.shape == (8,) and rgb.shape == (8, 3)
     s2, _, _ = model.apply(params, x, d, 0.8)
     assert np.abs(np.asarray(sigma) - np.asarray(s2)).max() > 0
+
+
+def test_dnerf_turbo_payload_slice_matches_pack():
+    """Time-sliced turbo payloads: slice_at_time must hand the march
+    exactly pack_occupancy_payloads(occ_grid[t]) (the CUDA kernel's
+    bitfield[floor(time*T)] indexing, dnerf/renderer.py:283-285)."""
+    from ngp_tpu.models.occupancy import pack_occupancy_payloads
+
+    _, render_cfg = _cfgs(turbo=True, max_samples_per_ray=16,
+                          coarse_candidates=32, crossing_slots=8,
+                          compact_mean_samples=4)
+    state = init_time_occupancy(render_cfg)
+    assert state.coarse_payload is not None
+    # give slice 5 a distinct sparse pattern
+    rng = np.random.default_rng(0)
+    og = np.array(state.occ_grid)
+    og[5] = rng.random(og[5].shape) < 0.2
+    state = state.replace(occ_grid=jnp.asarray(og))
+    # re-stack payloads the way the refresh does (per-slice pack)
+    cps, fps = jax.lax.map(pack_occupancy_payloads, state.occ_grid)
+    state = state.replace(coarse_payload=cps, fine_payload=fps)
+    sl = slice_at_time(state, jnp.float32(5.5 / 8.0), render_cfg)
+    cp_ref, fp_ref = pack_occupancy_payloads(state.occ_grid[5])
+    np.testing.assert_array_equal(np.asarray(sl.coarse_payload), np.asarray(cp_ref))
+    np.testing.assert_array_equal(np.asarray(sl.fine_payload), np.asarray(fp_ref))
+
+
+def test_dnerf_trainer_e2e_turbo(tmp_path):
+    """D-NeRF through the TURBO march: time-sliced packed payloads +
+    compact-batch deform regularisation. Same scene/assertions as the
+    v1 e2e."""
+    from ngp_tpu.data.nerf_dataset import NeRFDataset
+    from ngp_tpu.data.synthetic import make_synthetic_dataset
+
+    root = str(tmp_path / "dsynth")
+    make_synthetic_dataset(
+        root, n_train=6, n_val=2, n_test=1, H=48, W=48, num_steps=192, dynamic=True
+    )
+    train_ds = NeRFDataset(root, split="train", scale=0.8)
+
+    net_cfg, render_cfg = _cfgs(
+        turbo=True, max_steps=64, max_samples_per_ray=16,
+        coarse_candidates=48, crossing_slots=16, compact_mean_samples=8,
+    )
+    train_cfg = TrainConfig(
+        iters=200, lr=1e-2, num_rays=1024, workspace=str(tmp_path / "ws"),
+        update_extra_interval=16,
+    )
+    model = DNeRFNetwork(
+        cfg=net_cfg, render=render_cfg, num_layers_deform=2, hidden_dim_deform=32
+    )
+    trainer = DNeRFTrainer(
+        model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False
+    )
+    trainer.ensure_initialized()
+    before = trainer.evaluate(train_ds, max_frames=1)["psnr"]
+    trainer.train_on_dataset(train_ds, valid_ds=None, max_epochs=25)  # 150 steps
+    after = trainer.evaluate(train_ds, max_frames=1)["psnr"]
+    print(f"dnerf-turbo PSNR: {before:.2f} -> {after:.2f}")
+    assert after > before + 4.0
