@@ -63,9 +63,16 @@ def main():
 
         make_synthetic_dataset(opt.path)
 
+    # -O: the accelerated marcher on TPU is the turbo matmul march —
+    # CCNeRF's residual training shares one march across every rank
+    # prefix (render_rays_grid_turbo_multi)
+    turbo = bool(opt.O)
     render_cfg = RenderConfig(
         bound=opt.bound, min_near=opt.min_near, density_thresh=opt.density_thresh,
-        dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
+        dt_gamma=opt.dt_gamma,
+        max_steps=min(opt.max_steps, 256) if turbo else opt.max_steps,
+        turbo=turbo,
+        max_samples_per_ray=32 if turbo else 256,
     )
     train_cfg = TrainConfig(
         iters=opt.iters, lr=opt.lr, num_rays=opt.num_rays, seed=opt.seed,

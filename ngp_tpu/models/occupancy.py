@@ -761,6 +761,106 @@ def _place_bwd(S, res, g):
 place_compact.defvjp(_place_fwd, _place_bwd)
 
 
+def _turbo_compact_geometry(
+    rays_o, rays_d, state, cfg, rng, perturb, max_samples, aabb, budget
+):
+    """Shared turbo-render prologue: march -> ALIGN-padded valid-sample
+    compaction -> per-compact-sample geometry rebuild.
+
+    Compacts an ALIGN-padded mask (each ray's sample count rounded up
+    to a block) so placement is a pure row gather; per-sample t rides
+    the compaction sort as a payload operand; per-sample geometry is
+    then rebuilt from ONE block-level ray-row gather + arithmetic
+    (every extra per-sample gather costs ~3-5 ms at this shape).
+
+    Returns (march_dict, S, budget, src, valid, offsets, t_compact,
+    pts [M, 3], dirs [M, 3], maskb [N, S]) where maskb additionally
+    masks samples truncated by the global budget."""
+    N = rays_o.shape[0]
+    m = march_rays_turbo(
+        rays_o, rays_d, state, cfg, rng=rng, perturb=perturb,
+        max_samples=max_samples, aabb=aabb,
+    )
+    S = m["mask"].shape[1]
+    if budget is None:
+        budget = N * cfg.compact_mean_samples
+    budget = min(budget, N * S)
+    n_total8 = jnp.minimum((m["n_total"] + ALIGN - 1) // ALIGN * ALIGN, S)
+    mask8 = jnp.arange(S, dtype=jnp.int32)[None, :] < n_total8[:, None]
+    src, valid_m, offsets, t_c = compact_valid_samples(
+        mask8, budget, extra=m["ts"]
+    )
+    ray_row = jnp.concatenate(
+        [rays_o, rays_d, jnp.zeros((N, 2), jnp.float32)], axis=-1
+    )  # [N, 8]
+    ray_b = src[::ALIGN] // S  # per compact block (segments ALIGN-aligned)
+    rr = jnp.repeat(jnp.take(ray_row, ray_b, axis=0), ALIGN, axis=0)  # [M, 8]
+    pts = jnp.clip(
+        rr[:, 0:3] + rr[:, 3:6] * t_c[:, None], -cfg.bound, cfg.bound
+    )  # [M, 3]
+    dirs = rr[:, 3:6]
+    maskb = m["mask"] & (
+        (offsets[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]) < budget
+    )
+    return m, S, budget, src, valid_m, offsets, t_c, pts, dirs, maskb
+
+
+def render_rays_grid_turbo_multi(
+    sigma_rgb_fn: Callable,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    state: OccupancyState,
+    cfg: RenderConfig,
+    rng: Optional[jax.Array] = None,
+    perturb: bool = False,
+    bg_color=None,
+    max_samples: Optional[int] = None,
+    aabb: Optional[jnp.ndarray] = None,
+    budget: Optional[int] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Turbo render with K stacked radiance heads sharing ONE march.
+
+    ``sigma_rgb_fn(pts [M, 3], dirs [M, 3]) -> (sigmas [K, M],
+    rgbs [K, M, 3])`` evaluates every head on the compact sample batch;
+    each head is placed and composited into its own image. This is the
+    CCNeRF residual-training forward (the reference composites each
+    rank prefix into its own image over shared march samples,
+    nerf/renderer.py:298-311 + tensoRF/utils.py:529-531) on the
+    flagship matmul-march path: the march, compaction and placement
+    maps are K-independent, so only the [K, M, 4] value tensor and the
+    [K, N, S] composite scale with K.
+
+    Returns {"image": [K, N, 3], "weights_sum": [K, N], "depth":
+    [K, N], ...} plus the budget-overflow counters of the single-head
+    path."""
+    m, S, budget, src, valid_m, offsets, t_c, pts, dirs, maskb = (
+        _turbo_compact_geometry(
+            rays_o, rays_d, state, cfg, rng, perturb, max_samples, aabb,
+            budget,
+        )
+    )
+    sigmas, rgbs = sigma_rgb_fn(pts, dirs)  # [K, M], [K, M, 3]
+    vals = jnp.concatenate(
+        [sigmas[..., None].astype(jnp.float32), rgbs.astype(jnp.float32)],
+        axis=-1,
+    )  # [K, M, 4]
+    placed = jax.vmap(lambda v: place_compact(v, offsets, src, S))(vals)
+
+    def comp(p):
+        return composite_rays(
+            p[..., 0], p[..., 1:], m["ts"], m["deltas"], maskb,
+            m["nears"], m["fars"],
+            density_scale=cfg.density_scale, t_thresh=cfg.t_thresh,
+        )
+
+    out = jax.vmap(comp)(placed)
+    bg = jnp.float32(1.0) if bg_color is None else bg_color
+    out["image"] = out["image"] + (1.0 - out["weights_sum"])[..., None] * bg
+    out["n_samples"] = jnp.sum(maskb)
+    out["n_dropped"] = jnp.sum(m["n_dropped"]) + jnp.sum(m["mask"] & ~maskb)
+    return out
+
+
 def render_rays_grid_turbo(
     density_fn: Callable,
     color_fn: Callable,
@@ -788,34 +888,12 @@ def render_rays_grid_turbo(
     regulariser (dnerf/utils.py:117-119) consumes the per-sample
     deformation this way.
     """
-    N = rays_o.shape[0]
-    m = march_rays_turbo(
-        rays_o, rays_d, state, cfg, rng=rng, perturb=perturb,
-        max_samples=max_samples, aabb=aabb,
+    m, S, budget, src, valid_m, offsets, t_c, pts, dirs, maskb = (
+        _turbo_compact_geometry(
+            rays_o, rays_d, state, cfg, rng, perturb, max_samples, aabb,
+            budget,
+        )
     )
-    S = m["mask"].shape[1]
-    if budget is None:
-        budget = N * cfg.compact_mean_samples
-    budget = min(budget, N * S)
-    # compact an ALIGN-padded mask (each ray's sample count rounded up
-    # to a block) so placement is a pure row gather; per-sample t rides
-    # the compaction sort as a payload operand; per-sample geometry is
-    # then rebuilt from ONE block-level ray-row gather + arithmetic
-    # (every extra per-sample gather costs ~3-5 ms at this shape)
-    n_total8 = jnp.minimum((m["n_total"] + ALIGN - 1) // ALIGN * ALIGN, S)
-    mask8 = jnp.arange(S, dtype=jnp.int32)[None, :] < n_total8[:, None]
-    src, valid_m, offsets, t_c = compact_valid_samples(
-        mask8, budget, extra=m["ts"]
-    )
-    ray_row = jnp.concatenate(
-        [rays_o, rays_d, jnp.zeros((N, 2), jnp.float32)], axis=-1
-    )  # [N, 8]
-    ray_b = src[::ALIGN] // S  # per compact block (segments ALIGN-aligned)
-    rr = jnp.repeat(jnp.take(ray_row, ray_b, axis=0), ALIGN, axis=0)  # [M, 8]
-    pts = jnp.clip(
-        rr[:, 0:3] + rr[:, 3:6] * t_c[:, None], -cfg.bound, cfg.bound
-    )  # [M, 3]
-    dirs = rr[:, 3:6]
     sigmas, geo = density_fn(pts)
     rgbs = color_fn(dirs, geo)
     vals = jnp.concatenate(
@@ -823,9 +901,6 @@ def render_rays_grid_turbo(
         axis=-1,
     )  # [M, 4]
     placed = place_compact(vals, offsets, src, S)  # [N, S, 4]
-    maskb = m["mask"] & (
-        (offsets[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]) < budget
-    )
     out = composite_rays(
         placed[..., 0], placed[..., 1:], m["ts"], m["deltas"], maskb,
         m["nears"], m["fars"],

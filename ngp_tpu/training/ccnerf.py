@@ -17,7 +17,11 @@ import jax.numpy as jnp
 
 from ngp_tpu.data.raysampler import rays_from_indices, sample_ray_indices
 from ngp_tpu.models.ccnerf import CCNeRF
-from ngp_tpu.models.occupancy import composite_rays, march_rays
+from ngp_tpu.models.occupancy import (
+    composite_rays,
+    march_rays,
+    render_rays_grid_turbo_multi,
+)
 from ngp_tpu.training.nerf_grid import GridNeRFTrainer
 from ngp_tpu.training.state import TrainState, apply_gradients, create_train_state
 
@@ -74,6 +78,25 @@ class CCNeRFTrainer(GridNeRFTrainer):
         model = self.model
 
         def loss_fn(params):
+            if cfg.turbo:
+                # flagship matmul march: one march/compaction shared by
+                # every rank prefix, per-K placement + composite
+                def sigma_rgb_fn(pts, dirs):
+                    sig, rgb = model.sigma_rgb(
+                        params, pts, dirs, residual=True
+                    )
+                    K = sig.shape[0]
+                    M = pts.shape[0]
+                    return sig.reshape(K, M), rgb.reshape(K, M, 3)
+
+                out = render_rays_grid_turbo_multi(
+                    sigma_rgb_fn, rays["rays_o"], rays["rays_d"], occ, cfg,
+                    rng=k_render, perturb=True, bg_color=bg_color,
+                )
+                per_k = jnp.mean(
+                    (out["image"] - gt[None]) ** 2, axis=(1, 2)
+                )
+                return per_k.mean()
             m = march_rays(
                 rays["rays_o"], rays["rays_d"], occ, cfg, rng=k_render, perturb=True
             )

@@ -109,6 +109,43 @@ def test_ccnerf_trainer_e2e(tmp_path):
     assert after > before + 3.0
 
 
+def test_ccnerf_trainer_e2e_turbo(tmp_path):
+    """CCNeRF residual training through the TURBO march: one shared
+    march/compaction, per-rank-prefix placement + composite
+    (render_rays_grid_turbo_multi). Same scene/assertions as the v1
+    e2e."""
+    from ngp_tpu.data.nerf_dataset import NeRFDataset
+    from ngp_tpu.data.synthetic import make_synthetic_dataset
+    from ngp_tpu.training.ccnerf import CCNeRFTrainer
+
+    root = str(tmp_path / "synth")
+    make_synthetic_dataset(root, n_train=6, n_val=1, n_test=1, H=48, W=48, num_steps=192)
+    train_ds = NeRFDataset(root, split="train", scale=0.8)
+    val_ds = NeRFDataset(root, split="val", scale=0.8)
+
+    render_cfg = RenderConfig(
+        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=64,
+        max_samples_per_ray=16, grid_size=16, density_thresh=10.0,
+        turbo=True, coarse_candidates=48, crossing_slots=16,
+        compact_mean_samples=8,
+    )
+    train_cfg = TrainConfig(
+        iters=200, lr=2e-2, num_rays=512, workspace=str(tmp_path / "ws"),
+        update_extra_interval=16,
+    )
+    cfg = _small_cfg()
+    model = CCNeRF(cfg)
+    trainer = CCNeRFTrainer(
+        model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False
+    )
+    trainer.ensure_initialized()
+    before = trainer.evaluate(val_ds, max_frames=1)["psnr"]
+    trainer.train_on_dataset(train_ds, valid_ds=None, max_epochs=20)  # 120 steps
+    after = trainer.evaluate(val_ds, max_frames=1)["psnr"]
+    print(f"ccnerf-turbo PSNR: {before:.2f} -> {after:.2f}")
+    assert after > before + 3.0
+
+
 def test_compose_batched_sample_shapes():
     """Composed scenes must accept [rays, samples, 3] inputs like the
     march produces (regression: unflattened compose broke matmuls)."""
