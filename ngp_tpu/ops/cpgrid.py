@@ -66,16 +66,21 @@ def cpgrid_encode(
     xf = x.reshape(-1, 3).astype(jnp.float32)
     if compute_dtype is not None:
         factors = tuple(f.astype(compute_dtype) for f in factors)
+    out_dtype = compute_dtype or jnp.float32
     if jax.default_backend() == "cpu":
         # differentiable gather-based fallback (tests / CPU mesh runs);
         # the Pallas kernel itself is parity-tested in interpret mode
         feats = cp_encode_reference(xf, factors, cfg.resolutions)
+        feats = feats.astype(out_dtype)
+        oob = jnp.any((xf < 0.0) | (xf > 1.0), axis=-1)
+        feats = jnp.where(oob[:, None], jnp.zeros((), out_dtype), feats)
     else:
-        feats = cp_encode(xf, factors, cfg.resolutions, cfg.block)
-    out_dtype = compute_dtype or jnp.float32
-    feats = feats.astype(out_dtype)
-    oob = jnp.any((xf < 0.0) | (xf > 1.0), axis=-1)
-    feats = jnp.where(oob[:, None], jnp.zeros((), out_dtype), feats)
+        # OOB-zero + output dtype handled IN-KERNEL: a post-kernel
+        # where/convert re-streams the [M, nb*R] features through HBM
+        # (profiled ~1.8 ms/step of copies at production shapes)
+        feats = cp_encode(
+            xf, factors, cfg.resolutions, cfg.block, out_dtype
+        )
     if cfg.freq_degree > 0:
         fr = freq_encode(2.0 * xf - 1.0, cfg.freq_degree).astype(out_dtype)
         feats = jnp.concatenate([feats, fr], axis=-1)

@@ -80,14 +80,45 @@ def test_backward_finite_difference():
         np.testing.assert_allclose(float(an), float(fd), atol=2e-2, rtol=2e-2)
 
 
-def test_oob_clamps():
+def test_oob_zeroes():
+    """OOB samples get zero features AND zero factor gradients — the
+    reference's out-of-[0,1] semantics (gridencoder.cu:110-135), now
+    applied in-kernel (a post-kernel where would re-stream the whole
+    output through HBM)."""
     pos, factors = _setup(m=8)
     pos = pos.at[0].set(jnp.array([-0.5, 0.5, 0.5]))
     pos = pos.at[1].set(jnp.array([0.5, 1.7, 0.5]))
     out = cp_encode(pos, factors, RES, 8)
-    pos_c = jnp.clip(pos, 0, 1)
-    out_c = cp_encode(pos_c, factors, RES, 8)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(out_c), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[:2]), 0.0, atol=1e-7)
+    out_r = cp_encode_reference(pos, factors, RES)
+    np.testing.assert_allclose(
+        np.asarray(out[2:]), np.asarray(out_r[2:]), atol=1e-5
+    )
+    # gradients: zero the OOB rows' contribution
+    g = jnp.ones((8, len(RES) * RANK), jnp.float32)
+
+    def loss(fs):
+        return jnp.sum(cp_encode(pos, fs, RES, 8) * g)
+
+    def loss_ref(fs):
+        feats = cp_encode_reference(pos, fs, RES)
+        oob = jnp.any((pos < 0) | (pos > 1), axis=-1)
+        return jnp.sum(jnp.where(oob[:, None], 0.0, feats) * g)
+
+    gk = jax.grad(loss)(factors)
+    gr = jax.grad(loss_ref)(factors)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_out_dtype_bf16():
+    pos, factors = _setup()
+    out = cp_encode(pos, factors, RES, 128, jnp.bfloat16)
+    assert out.dtype == jnp.bfloat16
+    out_r = cp_encode_reference(pos, factors, RES)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(out_r), atol=2e-2, rtol=2e-2
+    )
 
 
 def test_bf16_factors():
