@@ -89,11 +89,12 @@ class GridNeRFTrainer(NeRFTrainer):
             # eval_mean_samples=None means the full no-drop budget N*S.
             # TRAINING steps leave budget=None here, which
             # render_rays_grid_turbo resolves to the (dropping)
-            # N * cfg.compact_mean_samples budget — intentionally the
-            # reference's mean_count cap (raymarching.py:198-203);
-            # early in training, while the grid is still dense, rays
-            # beyond the mean budget composite to background until the
-            # first occupancy refreshes sparsify it.
+            # N * cfg.compact_mean_samples budget — the reference's
+            # mean_count cap (raymarching.py:198-203). Overflow is
+            # WATER-FILLED (occupancy._turbo_compact_geometry): every
+            # ray keeps its nearest samples up to a uniform depth
+            # allowance, so a dense early-training grid shortens all
+            # rays instead of zeroing trailing ones.
             budget = None
             if not perturb:
                 S = max_samples or cfg.max_samples_per_ray

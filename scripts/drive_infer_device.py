@@ -31,10 +31,17 @@ def main():
         turbo=True, coarse_candidates=96, crossing_slots=16,
         compact_mean_samples=8,
     )
-    net_cfg = NetworkConfig(
-        encoding="cpgrid", use_bf16=True,
-        cp_resolutions=(256, 512, 1024, 2048), cp_rank=64, cp_freq_degree=5,
-    )
+    if os.environ.get("NGP_HQ"):  # the turbo-hq flagship (bench config)
+        net_cfg = NetworkConfig(
+            encoding="cpgrid", use_bf16=True,
+            cp_resolutions=(128, 256, 512, 1024, 2048), cp_rank=128,
+            cp_freq_degree=6,
+        )
+    else:
+        net_cfg = NetworkConfig(
+            encoding="cpgrid", use_bf16=True,
+            cp_resolutions=(256, 512, 1024, 2048), cp_rank=64, cp_freq_degree=5,
+        )
     train_cfg = TrainConfig(
         iters=30000, lr=1e-2, num_rays=16384, workspace="/tmp/infer_ws",
         update_extra_interval=16,
@@ -56,7 +63,7 @@ def main():
     jax.block_until_ready(trainer.state.params)
     print("trained", flush=True)
 
-    chunk = 16384
+    chunk = int(os.environ.get("NGP_CHUNK", "16384"))
     params = trainer.eval_params()
     intr = jnp.asarray(np.asarray(val_ds.intrinsics, np.float32))
     aabb = jnp.asarray(np.asarray(render_cfg.aabb, np.float32))
@@ -71,23 +78,42 @@ def main():
     poses_d = [jnp.asarray(np.asarray(val_ds.poses[i], np.float32)[None]) for i in range(6)]
 
     configs = [
-        ("base", 8, None, 1),
-        ("ems4-max16", 4, 16, 1),
-        ("stride2", 8, None, 2),
-        ("ems4-max16-s2", 4, 16, 2),
-        ("ems2-max8-s2", 2, 8, 2),
+        # name, ems, max_samples, stride, coarse_candidates
+        ("base", 8, None, 1, None),
+        ("ems4-max16", 4, 16, 1, None),
+        ("stride2", 8, None, 2, None),
+        ("ems4-max16-s2", 4, 16, 2, None),
+        ("ems2-max8-s2", 2, 8, 2, None),
     ]
+    spec = os.environ.get("NGP_CONFIGS", "")
+    if spec:  # "name:ems:max:stride:cc;..." ('-' = None)
+        configs = []
+        for part in spec.split(";"):
+            nm, ems, mx, st, cc = part.split(":")
+            configs.append((
+                nm, int(ems) if ems != "-" else None,
+                int(mx) if mx != "-" else None, int(st),
+                int(cc) if cc != "-" else None,
+            ))
+    gt = np.asarray(val_ds.images[0], np.float32)
+    if gt.shape[-1] == 4:
+        gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
+
     renders = {}
-    for name, ems, mx, st in configs:
+    for name, ems, mx, st, cc in configs:
         trainer.eval_mean_samples = ems
         trainer.eval_max_samples = mx
         trainer.eval_probe_stride = st
+        trainer.eval_coarse_candidates = cc
         trainer._jit_render_chunks = {}
         r = trainer._chunk_renderer(chunk, H, H)
         t0 = time.perf_counter()
         out = r(params, trainer.aux, poses_d[0], intr, di, df, aabb)
         jax.block_until_ready(out)
-        print(f"{name}: compiled in {time.perf_counter()-t0:.0f}s", flush=True)
+        img, _ = trainer.render_frame(val_ds.poses[0], intr, H, H, chunk=chunk)
+        mse = float(np.mean((np.asarray(img, np.float64) - gt) ** 2))
+        print(f"{name}: compiled in {time.perf_counter()-t0:.0f}s, "
+              f"PSNR {10*np.log10(1/max(mse,1e-12)):.2f}", flush=True)
         renders[name] = r
 
     times = {name: [] for name, *_ in configs}

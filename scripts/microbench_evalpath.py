@@ -47,10 +47,17 @@ def main():
         turbo=True, coarse_candidates=96, crossing_slots=16,
         compact_mean_samples=8,
     )
-    net_cfg = NetworkConfig(
-        encoding="cpgrid", use_bf16=True,
-        cp_resolutions=(256, 512, 1024, 2048), cp_rank=64, cp_freq_degree=5,
-    )
+    if os.environ.get("NGP_HQ"):  # the turbo-hq flagship (bench config)
+        net_cfg = NetworkConfig(
+            encoding="cpgrid", use_bf16=True,
+            cp_resolutions=(128, 256, 512, 1024, 2048), cp_rank=128,
+            cp_freq_degree=6,
+        )
+    else:
+        net_cfg = NetworkConfig(
+            encoding="cpgrid", use_bf16=True,
+            cp_resolutions=(256, 512, 1024, 2048), cp_rank=64, cp_freq_degree=5,
+        )
     train_cfg = TrainConfig(
         iters=30000, lr=1e-2, num_rays=16384, workspace="/tmp/ebs_ws",
         update_extra_interval=16,
@@ -76,7 +83,7 @@ def main():
     aux = trainer.aux
     occ = aux["occ"]
     density_fn, color_fn, _ = trainer._fns(params)
-    N = 16384
+    N = int(os.environ.get("NGP_N", "16384"))
     S_eval = int(os.environ.get("NGP_EMAX", "16"))
     ems = int(os.environ.get("NGP_EMS", "4"))
     budget = N * ems

@@ -284,8 +284,11 @@ def test_render_turbo_matches_v1_render():
     )
 
 
-def test_render_turbo_budget_drops_trailing_rays():
-    cfg = _cfg(compact_mean_samples=2)  # tight global budget
+def test_render_turbo_budget_water_fills():
+    """A scarce EXPLICIT (eval) budget is split as a uniform per-ray
+    depth allowance (water-filling): no ray that marched samples is
+    dropped whole, and the total stays within the budget."""
+    cfg = _cfg(compact_mean_samples=4)  # tight global budget
     state = _random_state(cfg, frac=0.5)
     ro, rd = _rays(n=32, seed=13)
 
@@ -295,7 +298,27 @@ def test_render_turbo_budget_drops_trailing_rays():
     def color_fn(d, geo):
         return jnp.clip(geo, 0.0, 1.0)
 
-    out = render_rays_grid_turbo(density_fn, color_fn, ro, rd, state, cfg)
+    out = render_rays_grid_turbo(
+        density_fn, color_fn, ro, rd, state, cfg, budget=32 * 4
+    )
     assert np.isfinite(np.asarray(out["image"])).all()
     # budgeted sample count can never exceed the global budget
-    assert int(out["n_samples"]) <= 32 * 2
+    assert int(out["n_samples"]) <= 32 * 4
+    # water-filling: every ray with marched samples still composites
+    # something (the old ray-major truncation zeroed trailing rays
+    # whole once the budget filled)
+    m = march_rays_turbo(ro, rd, state, cfg)
+    n_total = np.asarray(m["n_total"])
+    ws = np.asarray(out["weights_sum"])
+    assert (ws[n_total > 0] > 0.0).all()
+    # ... and the allowance is uniform up to the slack bonus: usage is
+    # capped by the water level k* plus one ALIGN block of distributed
+    # leftover budget
+    budget = 32 * cfg.compact_mean_samples
+    n8 = np.minimum(-(-n_total // 4) * 4, m["mask"].shape[1])
+    ks = np.arange(0, m["mask"].shape[1] + 1, 4)
+    tot = np.minimum(n8[None, :], ks[:, None]).sum(axis=1)
+    k_star = max(ks[tot <= budget].max(), 4)
+    used = int(np.asarray(out["n_samples"]))
+    assert used <= budget
+    assert used <= np.minimum(n8, k_star + 4).sum()
