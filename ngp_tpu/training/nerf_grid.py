@@ -37,9 +37,13 @@ class GridNeRFTrainer(NeRFTrainer):
         self.eval_max_samples: Optional[int] = None
         # turbo eval: GLOBAL mean-samples-per-ray budget for frame
         # rendering. render_frame interleaves the frame's rays so each
-        # chunk sees frame-average occupancy, which makes a small mean
-        # budget safe (None = full no-drop budget)
-        self.eval_mean_samples: Optional[int] = 8
+        # chunk sees frame-average occupancy, and the budget is
+        # WATER-FILLED across rays (occupancy._turbo_compact_geometry),
+        # so a scarce budget trims the deepest samples of the longest
+        # rays first and degrades gracefully (None = full no-drop
+        # budget). Default 4 measured at the quality knee: 800x800
+        # flagship frame 308 ms vs 448 ms at 8, -0.09 dB.
+        self.eval_mean_samples: Optional[int] = 4
         # eval-only probe-lattice stride: >1 marches the frame with
         # max_steps/stride probes (dt_min grows by the stride) — the
         # march's fixed per-chunk cost (coarse lookup + selection) drops
@@ -48,12 +52,15 @@ class GridNeRFTrainer(NeRFTrainer):
         # larger effective steps once rays die (renderer.py:336-367).
         self.eval_probe_stride: int = 1
         # eval-only march-budget overrides (None = training config).
-        # The march bisect (scripts/microbench_evalpath.py) puts ~46%
+        # The march bisect (scripts/microbench_evalpath.py) puts ~40%
         # of the eval chunk in the march; its candidate top_k, crossing
         # one-hots and fine-payload gathers all scale with these two
         # budgets, and an eval frame needs fewer of both than training
-        # (rays are frame-shuffled, the grid is converged).
-        self.eval_coarse_candidates: Optional[int] = None
+        # (rays are frame-shuffled, the grid is converged). Candidate
+        # budget 64 measured PSNR-identical to the training 96 on the
+        # converged synthetic scene; overflow shows up in the march's
+        # n_dropped counter if a denser scene ever needs it raised.
+        self.eval_coarse_candidates: Optional[int] = 64
         self.eval_crossing_slots: Optional[int] = None
 
     def init_aux(self) -> Any:

@@ -47,8 +47,10 @@ def main():
 
     fwd = jax.jit(lambda p: cp_encode(p, factors, RES))
 
-    def loss(p, f):
-        return jnp.vdot(cp_encode(p, f, RES), g)
+    def loss(p, f, gg):
+        # gg passed as an argument: a closure constant would be baked
+        # into the compile payload (335 MB -> HTTP 413 on the relay)
+        return jnp.vdot(cp_encode(p, f, RES), gg)
 
     bwd = jax.jit(jax.grad(loss, argnums=1))
 
@@ -57,7 +59,7 @@ def main():
     print(f"  fwd MFU: {flop_fwd / t / 197e12 * 100:.1f}% "
           f"({flop_fwd/1e9:.0f} GFLOP)")
     t2 = timeit("cp_encode fwd+bwd (grad wrt factors)",
-                lambda i: bwd(pos_pool[i % POOL], factors))
+                lambda i: bwd(pos_pool[i % POOL], factors, g))
     # bwd = vs pass (= fwd matmuls) + upd pass (= fwd matmuls)
     flop_tot = 3 * flop_fwd
     print(f"  fwd+bwd MFU: {flop_tot / t2 / 197e12 * 100:.1f}% "

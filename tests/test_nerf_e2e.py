@@ -137,6 +137,8 @@ def test_eval_march_dials(synth_root, tmp_path):
     val_ds = NeRFDataset(synth_root, split="val", scale=0.8)
     trainer = _turbo_trainer(tmp_path)
     trainer.ensure_initialized()
+    default_cc = trainer.eval_coarse_candidates  # 64 by default
+    default_cs = trainer.eval_crossing_slots
     pose = np.asarray(val_ds.poses[0], np.float32)
     img_base, _ = trainer.render_frame(pose, val_ds.intrinsics, 32, 32)
     n_traces = len(trainer._jit_render_chunks)
@@ -149,14 +151,16 @@ def test_eval_march_dials(synth_root, tmp_path):
     explicit = _turbo_trainer(tmp_path, coarse_candidates=32,
                               crossing_slots=8)
     explicit.ensure_initialized()
+    explicit.eval_coarse_candidates = None  # use the explicit config
+    explicit.eval_crossing_slots = None
     explicit.state = trainer.state  # same params
     explicit.aux = trainer.aux
     img_ref, _ = explicit.render_frame(pose, val_ds.intrinsics, 32, 32)
     np.testing.assert_allclose(img_dial, img_ref, atol=1e-6)
 
-    # dials back to None reuse the FIRST trace and reproduce it
-    trainer.eval_coarse_candidates = None
-    trainer.eval_crossing_slots = None
+    # dials back to the defaults reuse the FIRST trace and reproduce it
+    trainer.eval_coarse_candidates = default_cc
+    trainer.eval_crossing_slots = default_cs
     img_back, _ = trainer.render_frame(pose, val_ds.intrinsics, 32, 32)
     assert len(trainer._jit_render_chunks) == n_traces + 1
     np.testing.assert_allclose(img_back, img_base, atol=1e-6)
