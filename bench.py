@@ -42,18 +42,19 @@ def main():
 
     # the turbo-hq preset (main_nerf.py --preset turbo-hq): CP
     # factor-bank encoder at rank 128 x 5 banks — measured HASH-CLASS
-    # QUALITY on the hard textured scene (29.3 dB vs brickgrid's
-    # 29.3 dB, round-2 README table), so this vs_baseline number is not
+    # QUALITY on the hard textured scene (30.5 dB vs brickgrid's
+    # 29.3 dB class, round-3 A/B), so this vs_baseline number is not
     # quality-discounted (round-2 verdict: the rank-64 'turbo' preset
     # benched faster but 2.7 dB below the hash encoder). Marching:
     # Pallas coarse-lookup + matmul crossing payloads + valid-sample
-    # compaction at an 8-samples/ray mean budget (reference mean_count
-    # semantics, raymarching.py:198-203).
+    # compaction at a 6-samples/ray mean budget (reference mean_count
+    # semantics, raymarching.py:198-203; 6 measured quality-equal to 8
+    # on the hard scene, -0.03 dB / same SSIM, at 47 vs 39 steps/s).
     render_cfg = RenderConfig(
         bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=256,
         max_samples_per_ray=32, grid_size=128, density_thresh=10.0,
         turbo=True, coarse_candidates=96, crossing_slots=16,
-        compact_mean_samples=8,
+        compact_mean_samples=6,
     )
     net_cfg = NetworkConfig(
         encoding="cpgrid", use_bf16=True,

@@ -87,11 +87,17 @@ def build_parser():
     parser.add_argument("--num_levels", type=int, default=16)
     parser.add_argument("--level_dim", type=int, default=2)
     parser.add_argument("--preset", type=str, default="", choices=["", "tpu", "turbo", "turbo-hq"],
-                        help="'turbo': cpgrid encoder + matmul-march + sample "
-                             "compaction (the bench config, ~1.25x the CUDA "
-                             "reference); 'turbo-hq': rank-192 x 5-bank cpgrid "
-                             "(~1.0x, hash-class quality on textured scenes); "
+                        help="'turbo-hq' (the -O default): rank-128 x 5-bank "
+                             "cpgrid + matmul-march + sample compaction — "
+                             "hash-class quality at ~1.9x the CUDA reference; "
+                             "'turbo': rank-64 x 4-bank variant; "
                              "'tpu': round-1 brickgrid preset")
+    parser.add_argument("--compact_mean_samples", type=int, default=None,
+                        help="global train sample budget as mean samples/ray "
+                             "(the reference's mean_count cap, "
+                             "raymarching.py:198-203); turbo presets default "
+                             "to 6 (measured quality-neutral vs 8/16 and "
+                             "~1.2x/2x faster)")
     parser.add_argument("--cp_rank", type=int, default=64)
     parser.add_argument("--cp_freq_degree", type=int, default=5)
     parser.add_argument("--cp_resolutions", type=int, nargs="*",
@@ -116,7 +122,7 @@ def resolve_opts(opt):
         opt.preload = True
         # "-O = recommended settings" (main_nerf.py:67-70 in the
         # reference). On TPU the recommended path is the flagship
-        # turbo-hq preset (hash-class quality at 1.47x the CUDA
+        # turbo-hq preset (hash-class quality at ~1.9x the CUDA
         # reference; works for dt_gamma>0 colmap captures too). An
         # explicit --preset/--encoding choice wins.
         if not opt.preset and opt.encoding is None:
@@ -139,6 +145,13 @@ def resolve_opts(opt):
         opt.encoding = "cpgrid"
         opt.max_steps = min(opt.max_steps, 256)
         opt.max_samples_per_ray = 32
+        if opt.compact_mean_samples is None:
+            # measured (hard scene, 6k steps): mean 6 = mean 8 quality
+            # (-0.03 dB, same SSIM) at 47 vs 39 steps/s; mean 16 is
+            # slower AND slightly worse
+            opt.compact_mean_samples = 6
+    if opt.compact_mean_samples is None:
+        opt.compact_mean_samples = 16  # config default (safe, no drops)
         # dt_gamma is NOT forced: the turbo march handles both the
         # uniform (dt_gamma=0, blender-style) and adaptive
         # (default 1/128, real colmap captures) lattices
@@ -179,6 +192,7 @@ def main():
         max_steps=opt.max_steps,
         max_samples_per_ray=min(opt.max_samples_per_ray, opt.max_steps),
         turbo=turbo,
+        compact_mean_samples=opt.compact_mean_samples,
     )
     net_cfg = NetworkConfig(
         encoding=opt.encoding,

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +66,15 @@ class RenderConfig:
     # background until the first grid refreshes sparsify it — the
     # per-step `turbo_overflow` metric reports the dropped fraction.
     compact_mean_samples: int = 16
+    # world-space probe-lattice coverage (march t-span). None = the full
+    # AABB chord 2*sqrt(3)*bound. A caller that KNOWS occupied space is
+    # smaller (occupancy.occupied_aabb) can shrink it: the static probe
+    # count K = lattice_probes(cfg) scales with this span at UNCHANGED
+    # dt, cutting every K-proportional march stage. Pair it with the
+    # matching tight `aabb` render argument so nears start at the
+    # occupied region (samples only ever materialize in occupied cells,
+    # which the tight box contains by construction).
+    lattice_span: Optional[float] = None
 
     @property
     def cascades(self) -> int:

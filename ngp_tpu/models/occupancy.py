@@ -92,12 +92,18 @@ def lattice_probes(cfg: RenderConfig) -> int:
     worst-case count over that chord — typically FAR fewer than the
     uniform count at bound > 1 (geometric dt growth), which is exactly
     why the reference defaults to dt_gamma=1/128 for real captures
-    (main_nerf.py:33)."""
-    if cfg.dt_gamma == 0.0:
-        return int(math.ceil(cfg.max_steps * max(1.0, cfg.bound)))
+    (main_nerf.py:33). cfg.lattice_span shrinks the covered span (at
+    UNCHANGED dt) when the caller knows occupied space is smaller —
+    see occupied_aabb."""
+    span = cfg.lattice_span
     dt_min, dt_max = dt_bounds(cfg)
+    if cfg.dt_gamma == 0.0:
+        if span is None:
+            return int(math.ceil(cfg.max_steps * max(1.0, cfg.bound)))
+        return max(int(math.ceil(span / dt_min)) + 2, 2)
     return _adaptive_probe_count(
-        cfg.dt_gamma, dt_min, dt_max, cfg.min_near, 2.0 * SQRT3 * cfg.bound
+        cfg.dt_gamma, dt_min, dt_max, cfg.min_near,
+        2.0 * SQRT3 * cfg.bound if span is None else span,
     )
 
 
@@ -201,6 +207,49 @@ def bitfield(state: OccupancyState) -> jnp.ndarray:
     flat = state.occ_grid.reshape(state.occ_grid.shape[0], -1)
     zorder = jnp.take(flat, jnp.asarray(_morton_perm(H)), axis=1)
     return packbits(zorder.astype(jnp.float32).reshape(-1), 0.5)
+
+
+def occupied_aabb(state: OccupancyState, cfg: RenderConfig) -> jnp.ndarray:
+    """World-space AABB [6] f32 of every occupied cell, padded by one
+    fine cell per cascade — for tight march lattices (the
+    ``cfg.lattice_span`` static probe cut).
+
+    The march can only materialize samples in occupied fine cells, so a
+    per-ray [near, far] clipped to this box plus a lattice_span covering
+    its diameter renders identically up to a sub-dt lattice phase shift
+    (the probes outside it never produced samples; the reference's DDA
+    skips them without consuming steps, raymarching.cu:388-399 — this
+    is the fixed-shape analog of not paying for them at all). Falls
+    back to the full scene box when nothing is occupied (early
+    training). Device-side; callers fetch the [6] array at grid-refresh
+    cadence to (re)bucket the static probe count.
+    """
+    H = cfg.grid_size
+    occ = state.occ_grid
+    lo = jnp.full((3,), jnp.inf, jnp.float32)
+    hi = jnp.full((3,), -jnp.inf, jnp.float32)
+    for c in range(occ.shape[0]):
+        bc = float(min(2.0**c, cfg.bound))
+        cell = 2.0 * bc / H
+        g = occ[c]
+        for ax in range(3):
+            prof = jnp.any(g, axis=tuple(a for a in range(3) if a != ax))
+            anyc = jnp.any(prof)
+            first = jnp.argmax(prof).astype(jnp.float32)
+            last = (H - 1 - jnp.argmax(prof[::-1])).astype(jnp.float32)
+            lo_w = (first / H * 2.0 - 1.0) * bc - cell
+            hi_w = ((last + 1.0) / H * 2.0 - 1.0) * bc + cell
+            lo = lo.at[ax].set(
+                jnp.minimum(lo[ax], jnp.where(anyc, lo_w, jnp.inf))
+            )
+            hi = hi.at[ax].set(
+                jnp.maximum(hi[ax], jnp.where(anyc, hi_w, -jnp.inf))
+            )
+    full = jnp.asarray(cfg.aabb, jnp.float32)
+    valid = jnp.all(hi > lo)
+    lo = jnp.where(valid, jnp.maximum(lo, full[:3]), full[:3])
+    hi = jnp.where(valid, jnp.minimum(hi, full[3:]), full[3:])
+    return jnp.concatenate([lo, hi])
 
 
 # ---------------------------------------------------------------------------

@@ -309,6 +309,7 @@ class NeRFTrainer(Trainer):
             getattr(self, "eval_probe_stride", 1),
             getattr(self, "eval_coarse_candidates", None),
             getattr(self, "eval_crossing_slots", None),
+            getattr(self, "_eval_lattice_span", None),
         )
 
     def _chunk_renderer(self, chunk: int, H: int, W: int):
@@ -411,6 +412,19 @@ class NeRFTrainer(Trainer):
             if self.aabb_infer is not None
             else np.asarray(self.render_cfg.aabb, np.float32)
         )
+        # tight eval marching (grid trainers): clip rays to the occupied
+        # region and shrink the static probe lattice to its diameter —
+        # probes outside it could never produce samples
+        fetch_box = getattr(self, "_fetch_eval_tight_box", None)
+        box = fetch_box() if fetch_box is not None else None
+        if box is not None:
+            lo = np.maximum(aabb_eff[:3], box[:3])
+            hi = np.minimum(aabb_eff[3:], box[3:])
+            if (hi > lo).all():
+                aabb_eff = np.concatenate([lo, hi])
+            self._set_eval_lattice_span(aabb_eff)
+        elif hasattr(self, "_eval_lattice_span"):
+            self._eval_lattice_span = None
         n = H * W
         # shuffle rays across the frame so each chunk sees the
         # FRAME-AVERAGE occupancy: coherent pixel blocks alternate

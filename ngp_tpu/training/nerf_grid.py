@@ -15,10 +15,16 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+import math
+
+import numpy as np
+
 from ngp_tpu.models.occupancy import (
+    SQRT3,
     OccupancyState,
     init_occupancy,
     mark_untrained_grid,
+    occupied_aabb,
     render_rays_grid,
     render_rays_grid_turbo,
     update_occupancy,
@@ -62,6 +68,17 @@ class GridNeRFTrainer(NeRFTrainer):
         # n_dropped counter if a denser scene ever needs it raised.
         self.eval_coarse_candidates: Optional[int] = 64
         self.eval_crossing_slots: Optional[int] = None
+        # tight eval marching: clip per-ray [near, far] to the occupied
+        # region's AABB and shrink the static probe lattice to its
+        # diameter (occupancy.occupied_aabb + cfg.lattice_span). Every
+        # sample the full lattice could produce lies in an occupied
+        # cell inside that box, so this only removes probes that never
+        # produced samples. The span is quantized to 1/8ths of the full
+        # chord so the cached eval trace survives small box changes.
+        self.eval_tight_march: bool = True
+        self._eval_lattice_span: Optional[float] = None
+        self._tight_box_for = None  # occ state the cached box belongs to
+        self._tight_box_cache = None
 
     def init_aux(self) -> Any:
         return {"occ": init_occupancy(self.render_cfg)}
@@ -88,6 +105,8 @@ class GridNeRFTrainer(NeRFTrainer):
                 over["coarse_candidates"] = int(self.eval_coarse_candidates)
             if self.eval_crossing_slots is not None:
                 over["crossing_slots"] = int(self.eval_crossing_slots)
+            if self._eval_lattice_span is not None and cfg.turbo:
+                over["lattice_span"] = float(self._eval_lattice_span)
             if over:
                 cfg = dataclasses.replace(cfg, **over)
         if self.render_cfg.turbo:
@@ -126,6 +145,35 @@ class GridNeRFTrainer(NeRFTrainer):
             max_samples=max_samples,
             aabb=aabb,
         )
+
+    def _fetch_eval_tight_box(self):
+        """Occupied-region AABB [6] (host numpy) for tight eval
+        marching, or None when unavailable. Cached per occupancy state
+        (one [6]-element device fetch per grid refresh, not per
+        frame)."""
+        if not (self.render_cfg.turbo and self.eval_tight_march):
+            return None
+        occ = (self.aux or {}).get("occ")
+        if occ is None or getattr(occ, "occ_grid", None) is None:
+            return None
+        if occ.occ_grid.ndim != 4:  # time-sliced (D-NeRF) state
+            return None
+        if self._tight_box_for is not occ:
+            self._tight_box_cache = np.asarray(
+                occupied_aabb(occ, self.render_cfg), np.float32
+            )
+            self._tight_box_for = occ
+        return self._tight_box_cache
+
+    def _set_eval_lattice_span(self, aabb_eff: np.ndarray) -> None:
+        """Quantize the effective eval box's diameter into the static
+        lattice-span bucket read by render_batch at trace time."""
+        cfg = self.render_cfg
+        chord = 2.0 * SQRT3 * cfg.bound
+        span = float(np.linalg.norm(np.maximum(aabb_eff[3:] - aabb_eff[:3], 0)))
+        q = chord / 8.0
+        bucket = min(math.ceil(max(span, q) / q) * q, chord)
+        self._eval_lattice_span = None if bucket >= chord else bucket
 
     # ---- occupancy maintenance -------------------------------------------
 

@@ -51,6 +51,7 @@ def main():
         model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False
     )
     trainer.ensure_initialized()
+    trainer.eval_tight_march = os.environ.get("NGP_TIGHT", "1") == "1"
     trainer.mark_untrained(train_ds.poses, train_ds.intrinsics, train_ds.H, train_ds.W)
     epoch_iter = trainer.make_loader(train_ds)
     done = 0
@@ -66,7 +67,18 @@ def main():
     chunk = int(os.environ.get("NGP_CHUNK", "16384"))
     params = trainer.eval_params()
     intr = jnp.asarray(np.asarray(val_ds.intrinsics, np.float32))
-    aabb = jnp.asarray(np.asarray(render_cfg.aabb, np.float32))
+    # emulate render_frames' tight-march setup (this script drives the
+    # chunk renderer directly)
+    aabb_np = np.asarray(render_cfg.aabb, np.float32)
+    box = trainer._fetch_eval_tight_box()
+    if box is not None:
+        lo = np.maximum(aabb_np[:3], box[:3])
+        hi = np.minimum(aabb_np[3:], box[3:])
+        aabb_np = np.concatenate([lo, hi])
+        trainer._set_eval_lattice_span(aabb_np)
+        print(f"tight box: {np.round(aabb_np, 3)} "
+              f"span bucket {trainer._eval_lattice_span}", flush=True)
+    aabb = jnp.asarray(aabb_np)
     n = H * H
     perm = trainer._frame_perm(n)
     C = -(-n // chunk)

@@ -47,7 +47,7 @@ def main():
         bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=256,
         max_samples_per_ray=32, grid_size=128, density_thresh=10.0,
         turbo=True, coarse_candidates=96, crossing_slots=16,
-        compact_mean_samples=8,
+        compact_mean_samples=int(os.environ.get("NGP_MEAN", "6")),
     )
     if preset == "turbo-hq":
         net_cfg = NetworkConfig(

@@ -53,7 +53,7 @@ def main():
         bound=bound, min_near=0.05, dt_gamma=dt_gamma, max_steps=256,
         max_samples_per_ray=32, grid_size=128, density_thresh=10.0,
         turbo=True, coarse_candidates=96, crossing_slots=16,
-        compact_mean_samples=int(os.environ.get("NGP_MEAN", "8")),
+        compact_mean_samples=int(os.environ.get("NGP_MEAN", "6")),
     )
     if preset == "turbo-hq":
         net_cfg = NetworkConfig(

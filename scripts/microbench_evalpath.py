@@ -47,6 +47,10 @@ def main():
         turbo=True, coarse_candidates=96, crossing_slots=16,
         compact_mean_samples=8,
     )
+    # NGP_CC: eval-time coarse-candidate budget (the trainer's
+    # eval_coarse_candidates dial, default 64) — applied to the
+    # measured cfg only, training keeps 96
+    eval_cc = os.environ.get("NGP_CC")
     if os.environ.get("NGP_HQ"):  # the turbo-hq flagship (bench config)
         net_cfg = NetworkConfig(
             encoding="cpgrid", use_bf16=True,
@@ -87,6 +91,12 @@ def main():
     S_eval = int(os.environ.get("NGP_EMAX", "16"))
     ems = int(os.environ.get("NGP_EMS", "4"))
     budget = N * ems
+    if eval_cc:
+        import dataclasses
+
+        render_cfg = dataclasses.replace(
+            render_cfg, coarse_candidates=int(eval_cc)
+        )
     aabb = jnp.asarray(np.asarray(render_cfg.aabb, np.float32))
 
     # eval ray pool: real frame rays, shuffled (frame-average occupancy)

@@ -307,3 +307,48 @@ def test_main_nerf_O_selects_flagship():
         main_nerf.build_parser().parse_args(["scene"])
     )
     assert opt.preset == "" and opt.encoding == "hashgrid"
+
+
+def test_eval_tight_march(synth_root, tmp_path):
+    """Tight eval marching: with a sparse occupancy grid the trainer
+    clips eval rays to the occupied AABB and shrinks the probe lattice
+    (cfg.lattice_span); the render matches the full-lattice render
+    closely, and a fully-occupied grid leaves the path untouched."""
+    import jax.numpy as jnp
+
+    from ngp_tpu.models.occupancy import pack_occupancy_payloads
+
+    val_ds = NeRFDataset(synth_root, split="val", scale=0.8)
+    trainer = _turbo_trainer(tmp_path)
+    trainer.ensure_initialized()
+    pose = np.asarray(val_ds.poses[0], np.float32)
+
+    # fresh grid = fully occupied: tight marching must stay disabled
+    img0, _ = trainer.render_frame(pose, val_ds.intrinsics, 32, 32)
+    assert trainer._eval_lattice_span is None
+
+    # sparsify: occupy only a central blob
+    occ = trainer.aux["occ"]
+    H = trainer.render_cfg.grid_size
+    g = np.zeros((trainer.render_cfg.cascades, H, H, H), bool)
+    g[0, H // 2 - 4 : H // 2 + 4, H // 2 - 4 : H // 2 + 4,
+      H // 2 - 4 : H // 2 + 4] = True
+    gj = jnp.asarray(g)
+    cp, fp = pack_occupancy_payloads(gj)
+    trainer.aux = dict(trainer.aux)
+    trainer.aux["occ"] = occ.replace(
+        occ_grid=gj, coarse_payload=cp, fine_payload=fp
+    )
+
+    img_tight, _ = trainer.render_frame(pose, val_ds.intrinsics, 32, 32)
+    assert trainer._eval_lattice_span is not None
+    chord = 2 * np.sqrt(3) * trainer.render_cfg.bound
+    assert trainer._eval_lattice_span < chord
+
+    trainer.eval_tight_march = False
+    trainer._eval_lattice_span = None
+    img_full, _ = trainer.render_frame(pose, val_ds.intrinsics, 32, 32)
+    np.testing.assert_allclose(
+        np.asarray(img_tight, np.float32), np.asarray(img_full, np.float32),
+        atol=0.05,
+    )

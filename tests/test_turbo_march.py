@@ -322,3 +322,68 @@ def test_render_turbo_budget_water_fills():
     used = int(np.asarray(out["n_samples"]))
     assert used <= budget
     assert used <= np.minimum(n8, k_star + 4).sum()
+
+
+def test_occupied_aabb_and_tight_lattice():
+    """occupied_aabb bounds every occupied cell (+1 cell pad); a march
+    on the tight box + matching lattice_span produces samples only
+    inside the box and renders the same content as the full lattice."""
+    import dataclasses
+
+    from ngp_tpu.models.occupancy import lattice_probes, occupied_aabb
+
+    cfg = _cfg()
+    H = cfg.grid_size
+    state = init_occupancy(cfg)
+    # occupy a compact blob: cells [4..7)^3 of cascade 0
+    occ = np.zeros((cfg.cascades, H, H, H), bool)
+    occ[0, 4:7, 4:7, 4:7] = True
+    occ_j = jnp.asarray(occ)
+    cp, fp = pack_occupancy_payloads(occ_j)
+    state = state.replace(occ_grid=occ_j, coarse_payload=cp, fine_payload=fp)
+
+    box = np.asarray(occupied_aabb(state, cfg))
+    cell = 2.0 * cfg.bound / H
+    want_lo = (4 / H * 2 - 1) * cfg.bound - cell
+    want_hi = (7 / H * 2 - 1) * cfg.bound + cell
+    np.testing.assert_allclose(box[:3], want_lo, atol=1e-6)
+    np.testing.assert_allclose(box[3:], want_hi, atol=1e-6)
+
+    # empty grid falls back to the full scene box
+    empty = state.replace(occ_grid=jnp.zeros_like(occ_j))
+    np.testing.assert_allclose(
+        np.asarray(occupied_aabb(empty, cfg)), np.asarray(cfg.aabb)
+    )
+
+    # tight lattice: span covers the box diameter; K shrinks; samples
+    # stay inside the box; the rendered content matches the full march
+    span = float(np.linalg.norm(box[3:] - box[:3]))
+    tight_cfg = dataclasses.replace(cfg, lattice_span=span)
+    assert lattice_probes(tight_cfg) < lattice_probes(cfg)
+    ro, rd = _rays(n=64, seed=3)
+
+    def density_fn(x):
+        return jnp.ones(x.shape[:-1]) * 8.0, x * 0.5 + 0.5
+
+    def color_fn(d, geo):
+        return jnp.clip(geo, 0.0, 1.0)
+
+    m_t = march_rays_turbo(ro, rd, state, tight_cfg, aabb=jnp.asarray(box))
+    pts = np.asarray(m_t["xyzs"])[np.asarray(m_t["mask"])]
+    assert (pts >= box[:3] - 1e-5).all() and (pts <= box[3:] + 1e-5).all()
+
+    out_full = render_rays_grid_turbo(density_fn, color_fn, ro, rd, state, cfg)
+    out_tight = render_rays_grid_turbo(
+        density_fn, color_fn, ro, rd, state, tight_cfg,
+        aabb=jnp.asarray(box),
+    )
+    # same occupied segments, lattice phase shifted by < dt: images and
+    # opacities agree closely
+    np.testing.assert_allclose(
+        np.asarray(out_tight["weights_sum"]),
+        np.asarray(out_full["weights_sum"]), atol=0.05,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_tight["image"]), np.asarray(out_full["image"]),
+        atol=0.05,
+    )
