@@ -131,3 +131,53 @@ class NeRFNetwork(nn.Module):
         h = jnp.concatenate([de.astype(h.dtype), h], axis=-1)
         h = self.bg_net(h)
         return nn.sigmoid(h.astype(jnp.float32))
+
+
+def make_fused_density(model: NeRFNetwork, params) -> "callable | None":
+    """Fused density fn for the flagship config, or None.
+
+    When the model is the cpgrid encoder + 2-layer sigma MLP, returns a
+    drop-in replacement for ``model.apply(params, x, method=density)``
+    built directly on the raw param arrays and the one-pass Pallas head
+    (ops/cpgrid.cpgrid_density): the [M, ~680] feature rows never round
+    trip through HBM. Bypasses flax module dispatch, so the param tree
+    must carry the expected names ('encoder'/'factors_<res>',
+    'sigma_net'/'dense_{0,1}'/'kernel'); anything else returns None and
+    callers keep the module path (CPU mesh runs, TP-sharded params,
+    other encoders).
+    """
+    c = model.cfg
+    if c.encoding != "cpgrid" or c.num_layers != 2:
+        return None
+    from ngp_tpu.ops.cpgrid import CPGridConfig, cpgrid_density
+
+    try:
+        p = params["params"]
+        enc = p["encoder"]
+        net = p["sigma_net"]
+        factors = tuple(enc[f"factors_{r}"] for r in c.cp_resolutions)
+        w1 = net["dense_0"]["kernel"]
+        w2 = net["dense_1"]["kernel"]
+    except (KeyError, TypeError):
+        return None
+    cfg = CPGridConfig(
+        resolutions=tuple(c.cp_resolutions),
+        rank=c.cp_rank,
+        freq_degree=c.cp_freq_degree,
+    )
+    if w1.shape[0] != cfg.output_dim:
+        return None
+    dtype = jnp.bfloat16 if c.use_bf16 else None
+    b = model.render.bound
+
+    def density_fn(x):
+        h = cpgrid_density(
+            (x + b) / (2 * b), factors, w1, w2, cfg, compute_dtype=dtype
+        )
+        sigma = trunc_exp(h[..., 0])
+        geo = h[..., 1:]
+        if dtype is not None:
+            geo = geo.astype(dtype)
+        return sigma, geo
+
+    return density_fn

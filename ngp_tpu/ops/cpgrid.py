@@ -85,3 +85,43 @@ def cpgrid_encode(
         fr = freq_encode(2.0 * xf - 1.0, cfg.freq_degree).astype(out_dtype)
         feats = jnp.concatenate([feats, fr], axis=-1)
     return feats.reshape(*batch_shape, cfg.output_dim)
+
+
+def cpgrid_density(
+    x: jnp.ndarray,
+    factors: Tuple[jnp.ndarray, ...],
+    w1: jnp.ndarray,
+    w2: jnp.ndarray,
+    cfg: CPGridConfig,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Fused density head: cpgrid_encode(x) -> 2-layer no-bias MLP
+    (relu between), numerically the composition of
+    ``cpgrid_encode`` + ``MLP(num_layers=2)`` (models/mlp.py) but one
+    Pallas pass on TPU (ops/pallas/cp_kernels.cp_density): the [M, D]
+    feature rows stay in VMEM instead of making ~4 HBM round trips.
+    Replaces the reference's hashgrid -> sigma-net hot pair
+    (nerf/network.py:94-113). w1/w2 are the raw Dense kernels
+    ([D, H1], [H1, OUT], param dtype); x any leading shape in [0, 1].
+    Returns [..., OUT] float32.
+    """
+    batch_shape = x.shape[:-1]
+    xf = x.reshape(-1, 3).astype(jnp.float32)
+    if compute_dtype is not None:
+        factors = tuple(f.astype(compute_dtype) for f in factors)
+        w1 = w1.astype(compute_dtype)
+        w2 = w2.astype(compute_dtype)
+    if jax.default_backend() == "cpu":
+        feats = cpgrid_encode(x, factors, cfg, compute_dtype=None)
+        feats = feats.reshape(-1, cfg.output_dim)
+        dt = compute_dtype or feats.dtype
+        h1 = jnp.dot(feats.astype(dt), w1, preferred_element_type=jnp.float32)
+        h1 = jnp.maximum(h1, 0.0).astype(dt)
+        out = jnp.dot(h1, w2, preferred_element_type=jnp.float32)
+    else:
+        from ngp_tpu.ops.pallas.cp_kernels import cp_density
+
+        out = cp_density(
+            xf, factors, w1, w2, cfg.resolutions, cfg.freq_degree, cfg.block
+        )
+    return out.reshape(*batch_shape, w2.shape[1]).astype(jnp.float32)

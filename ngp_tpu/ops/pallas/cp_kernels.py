@@ -177,8 +177,10 @@ def _cp_encode_fwd(pos, factors, resolutions, block, out_dtype=jnp.float32):
     )
 
 
-def _cp_encode_bwd(resolutions, block, out_dtype, res_data, g):
-    pos, factors = res_data
+def _cp_bwd_banks(pos, factors, g_cp, resolutions, block):
+    """Per-bank factor gradients from d(cp features) — the shared
+    backward of cp_encode and cp_density (one Pallas kernel per bank,
+    tents rebuilt in VMEM; see _bwd_kernel)."""
     rank = factors[0].shape[-1]
     dfactors = []
     for b, res in enumerate(resolutions):
@@ -198,7 +200,7 @@ def _cp_encode_bwd(resolutions, block, out_dtype, res_data, g):
             blk //= 2
         pos_p = _pad_to(pos.astype(jnp.float32), blk)
         Mp = pos_p.shape[0]
-        g_p = _pad_to(g.astype(jnp.float32), blk)
+        g_p = _pad_to(g_cp.astype(jnp.float32), blk)
         grid = (Mp // blk,)
         gb = g_p[:, b * rank : (b + 1) * rank]
         df = pl.pallas_call(
@@ -216,7 +218,13 @@ def _cp_encode_bwd(resolutions, block, out_dtype, res_data, g):
             interpret=_interpret(),
         )(pos_p, gb, factors[b])
         dfactors.append(df.astype(factors[b].dtype))
-    return jnp.zeros_like(pos), tuple(dfactors)
+    return tuple(dfactors)
+
+
+def _cp_encode_bwd(resolutions, block, out_dtype, res_data, g):
+    pos, factors = res_data
+    dfactors = _cp_bwd_banks(pos, factors, g, resolutions, block)
+    return jnp.zeros_like(pos), dfactors
 
 
 cp_encode.defvjp(_cp_encode_fwd, _cp_encode_bwd)
@@ -238,3 +246,185 @@ def cp_encode_reference(pos, factors, resolutions: Sequence[int]) -> jnp.ndarray
             acc = v if acc is None else acc * v
         outs.append(acc)
     return jnp.concatenate(outs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# fused density head: CP encode + freq + 2-layer MLP in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _freq_ladder(x, degree: int, dtype):
+    """[TM, 3] -> [TM, 3*(1+2*degree)] double-angle frequency encoding
+    (MUST match ops/freq.py:freq_encode exactly)."""
+    outs = [x]
+    if degree > 0:
+        s = jnp.sin(x)
+        c = jnp.cos(x)
+        outs.append(s)
+        outs.append(c)
+        for _ in range(1, degree):
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            outs.append(s)
+            outs.append(c)
+    return jnp.concatenate(outs, axis=-1).astype(dtype)
+
+
+def _density_kernel(resolutions, rank, freq_degree, pos_ref, *refs):
+    """cp features + freq ladder + relu(feats @ w1) @ w2, one pass.
+
+    The fused head keeps the [TM, D] feature row in VMEM: the unfused
+    path writes it to HBM (cp_encode output), re-reads it for the freq
+    concat, writes the concat, and re-reads it for the MLP — ~4 HBM
+    passes over [M, ~680] bf16 per forward that this kernel never pays.
+    Replaces the reference's hashgrid -> sigma-MLP hot pair
+    (nerf/network.py:94-113) and is the TPU analog of its fully-fused
+    FFMLP ambition (ffmlp/src/ffmlp.cu:331-408) on the path where it
+    actually pays."""
+    nfac = len(resolutions)
+    factor_refs = refs[:nfac]
+    w1_ref, w2_ref = refs[nfac], refs[nfac + 1]
+    out_ref, feats_ref, h1_ref = refs[nfac + 2], refs[nfac + 3], refs[nfac + 4]
+    pos = pos_ref[:]  # [TM, 3] f32
+    oob = jnp.any((pos < 0.0) | (pos > 1.0), axis=-1)
+    outs = []
+    for b, res in enumerate(resolutions):
+        fb = factor_refs[b]
+        acc = None
+        for ax in range(3):
+            oh = _tent(pos[:, ax], res, fb.dtype)
+            v = jnp.dot(oh, fb[ax], preferred_element_type=jnp.float32)
+            acc = v if acc is None else acc * v
+        outs.append(acc)
+    cp = jnp.concatenate(outs, axis=-1)
+    cp = jnp.where(oob[:, None], 0.0, cp)  # gridencoder.cu:110-135
+    fr = _freq_ladder(2.0 * pos - 1.0, freq_degree, jnp.float32)
+    feats = jnp.concatenate([cp, fr], axis=-1).astype(w1_ref.dtype)
+    h1 = jnp.dot(feats, w1_ref[:], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1, 0.0).astype(w1_ref.dtype)  # bf16, like nn.Dense
+    out = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = out.astype(out_ref.dtype)
+    feats_ref[:] = feats
+    h1_ref[:] = h1
+
+
+def _density_vmem_block(block, resolutions, rank, itemsize, D, H1):
+    nb = len(resolutions)
+    fixed = (
+        sum(3 * r * rank * itemsize for r in resolutions)
+        + D * H1 * itemsize
+    )
+    blk = block
+    while blk > 128:
+        est = (
+            blk * max(resolutions) * itemsize  # live tent
+            + blk * nb * rank * 4              # cp accs f32
+            + 2 * blk * D * itemsize           # feats (+concat temp)
+            + 2 * blk * H1 * 4                 # h1/out
+            + fixed
+        )
+        if est <= 12 * 1024 * 1024:
+            break
+        blk //= 2
+    return blk
+
+
+def _cp_density_fwd_impl(pos, factors, w1, w2, resolutions, freq_degree,
+                         block):
+    M = pos.shape[0]
+    rank = factors[0].shape[-1]
+    nb = len(resolutions)
+    D, H1 = w1.shape
+    OUT = w2.shape[1]
+    assert D == nb * rank + 3 * (1 + 2 * freq_degree), (D, nb, rank, freq_degree)
+    block = _density_vmem_block(
+        block, resolutions, rank, factors[0].dtype.itemsize, D, H1
+    )
+    pos_p = _pad_to(pos.astype(jnp.float32), block)
+    Mp = pos_p.shape[0]
+    grid = (Mp // block,)
+    out, feats, h1 = pl.pallas_call(
+        functools.partial(_density_kernel, resolutions, rank, freq_degree),
+        out_shape=(
+            jax.ShapeDtypeStruct((Mp, OUT), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, D), w1.dtype),
+            jax.ShapeDtypeStruct((Mp, H1), w1.dtype),
+        ),
+        grid=grid,
+        in_specs=[pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim, memory_space=pltpu.VMEM)
+           for f in factors]
+        + [
+            pl.BlockSpec(w1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, OUT), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, H1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(pos_p, *factors, w1, w2)
+    return out[:M], feats[:M], h1[:M]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def cp_density(pos, factors, w1, w2, resolutions: Tuple[int, ...],
+               freq_degree: int, block: int = 1024):
+    """Fused density head: [cp_encode(pos) | freq(2*pos-1)] -> 2-layer
+    no-bias MLP (relu between), one Pallas pass.
+
+    pos     : [M, 3] f32 in [0, 1] (OOB rows: cp features zero, freq
+              still evaluated — identical to the unfused composition)
+    factors : tuple of [3, res_b, R] (bf16/f32)
+    w1      : [nb*R + freq_dim, H1], w2: [H1, OUT] (same dtype as the
+              MLP compute dtype; grads flow to whatever the caller
+              cast from)
+    returns : [M, OUT] f32 (head column 0 = raw sigma for trunc_exp,
+              1: = geo features)
+
+    Backward: dW1/dW2/dh via plain XLA matmuls on the saved bf16
+    feats/h1 residuals; factor grads via the shared per-bank Pallas
+    backward (_cp_bwd_banks). d(pos) is zero, matching cp_encode (march
+    sample positions are not differentiated)."""
+    out, _, _ = _cp_density_fwd_impl(
+        pos, factors, w1, w2, resolutions, freq_degree, block
+    )
+    return out
+
+
+def _cp_density_fwd(pos, factors, w1, w2, resolutions, freq_degree, block):
+    out, feats, h1 = _cp_density_fwd_impl(
+        pos, factors, w1, w2, resolutions, freq_degree, block
+    )
+    return out, (pos, factors, w1, w2, feats, h1)
+
+
+def _cp_density_bwd(resolutions, freq_degree, block, resid, g):
+    pos, factors, w1, w2, feats, h1 = resid
+    rank = factors[0].shape[-1]
+    nbR = len(resolutions) * rank
+    g = g.astype(jnp.float32)
+    # dW2 = h1^T g ; dh1 = (g W2^T) * relu'(h1) ; dW1 = feats^T dh1
+    dW2 = jax.lax.dot_general(
+        h1, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dh1 = jnp.dot(g, w2.astype(jnp.float32).T)
+    dh1 = jnp.where(h1 > 0, dh1, 0.0)
+    dW1 = jax.lax.dot_general(
+        feats, dh1.astype(feats.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dfeat = jnp.dot(dh1.astype(w1.dtype), w1.T,
+                    preferred_element_type=jnp.float32)
+    dfactors = _cp_bwd_banks(pos, factors, dfeat[:, :nbR], resolutions, block)
+    # freq columns: d(pos) is zero by contract (march positions are not
+    # differentiated; cp_encode returns zeros the same way)
+    return (
+        jnp.zeros_like(pos),
+        dfactors,
+        dW1.astype(w1.dtype),
+        dW2.astype(w2.dtype),
+    )
+
+
+cp_density.defvjp(_cp_density_fwd, _cp_density_bwd)

@@ -122,8 +122,24 @@ class NeRFTrainer(Trainer):
     # ---- rendering closures ---------------------------------------------
 
     def _fns(self, params):
-        def density_fn(x):
-            return self.model.apply(params, x, method=NeRFNetwork.density)
+        import os
+
+        density_fn = None
+        if (
+            self.mesh is None
+            and type(self.model) is NeRFNetwork
+            and not os.environ.get("NGP_NO_FUSED")
+        ):
+            # flagship fused head (cpgrid + 2-layer sigma MLP): one
+            # Pallas pass, features never leave VMEM. Skipped under a
+            # device mesh (TP shards the factors; the fused kernel
+            # expects them replicated).
+            from ngp_tpu.models.nerf import make_fused_density
+
+            density_fn = make_fused_density(self.model, params)
+        if density_fn is None:
+            def density_fn(x):
+                return self.model.apply(params, x, method=NeRFNetwork.density)
 
         def color_fn(d, geo):
             return self.model.apply(params, d, geo, method=NeRFNetwork.color)

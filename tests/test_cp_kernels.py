@@ -126,3 +126,111 @@ def test_bf16_factors():
     out_k = cp_encode(pos, factors, RES, 128)
     out_r = cp_encode_reference(pos, factors, RES)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r), atol=2e-2, rtol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# fused density head (cp_density)
+# ---------------------------------------------------------------------------
+
+
+def _density_setup(m=260, seed=3, fd=2, h1=32, out=8):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.uniform(-0.1, 1.1, size=(m, 3)).astype(np.float32))
+    factors = tuple(
+        jnp.asarray(rng.normal(0, 0.3, size=(3, r, RANK)).astype(np.float32))
+        for r in RES
+    )
+    D = len(RES) * RANK + 3 * (1 + 2 * fd)
+    w1 = jnp.asarray(rng.normal(0, 0.2, size=(D, h1)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(0, 0.2, size=(h1, out)).astype(np.float32))
+    return pos, factors, w1, w2, fd
+
+
+def _density_reference(pos, factors, w1, w2, fd):
+    """Unfused composition: cp reference + freq ladder + 2-layer MLP."""
+    from ngp_tpu.ops.freq import freq_encode
+
+    cp = cp_encode_reference(pos, factors, RES)
+    oob = jnp.any((pos < 0.0) | (pos > 1.0), axis=-1)
+    cp = jnp.where(oob[:, None], 0.0, cp)
+    fr = freq_encode(2.0 * pos - 1.0, fd)
+    feats = jnp.concatenate([cp, fr], axis=-1)
+    h = jnp.maximum(feats @ w1, 0.0)
+    return h @ w2
+
+
+def test_cp_density_forward_parity():
+    from ngp_tpu.ops.pallas.cp_kernels import cp_density
+
+    pos, factors, w1, w2, fd = _density_setup()
+    out_k = cp_density(pos, factors, w1, w2, RES, fd, 128)
+    out_r = _density_reference(pos, factors, w1, w2, fd)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_r), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_cp_density_grads_match_composition():
+    """The custom vjp (saved feats/h1 residuals + shared per-bank
+    Pallas backward) must match autodiff of the unfused composition for
+    factors AND both MLP kernels."""
+    from ngp_tpu.ops.pallas.cp_kernels import cp_density
+
+    pos, factors, w1, w2, fd = _density_setup()
+    g = jnp.asarray(
+        np.random.default_rng(9).normal(size=(pos.shape[0], w2.shape[1]))
+        .astype(np.float32)
+    )
+
+    def loss_fused(f, a, b):
+        return jnp.vdot(cp_density(pos, f, a, b, RES, fd, 128), g)
+
+    def loss_ref(f, a, b):
+        return jnp.vdot(_density_reference(pos, f, a, b, fd), g)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(factors, w1, w2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(factors, w1, w2)
+    for a, b in zip(gf[0], gr[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(gr[2]),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_make_fused_density_matches_module():
+    """Trainer-level fused density path == model.apply density (same
+    params), and None for non-cpgrid configs."""
+    from ngp_tpu.config import NetworkConfig, RenderConfig
+    from ngp_tpu.models.nerf import NeRFNetwork, make_fused_density
+
+    render_cfg = RenderConfig(bound=1.0, turbo=True)
+    net_cfg = NetworkConfig(
+        encoding="cpgrid", use_bf16=False,
+        cp_resolutions=(32, 64), cp_rank=16, cp_freq_degree=4,
+    )
+    model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
+    rng = np.random.default_rng(11)
+    x0 = jnp.zeros((8, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, x0, method=NeRFNetwork.full_init)
+    fused = make_fused_density(model, params)
+    assert fused is not None
+    x = jnp.asarray(rng.uniform(-1, 1, size=(64, 3)).astype(np.float32))
+    s_f, g_f = fused(x)
+    s_m, g_m = model.apply(params, x, method=NeRFNetwork.density)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_m),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_f, np.float32), np.asarray(g_m, np.float32),
+        atol=1e-4, rtol=1e-4,
+    )
+
+    hash_model = NeRFNetwork(
+        cfg=NetworkConfig(encoding="hashgrid", use_bf16=False),
+        render=render_cfg,
+    )
+    hash_params = hash_model.init(
+        jax.random.PRNGKey(1), x0, x0, method=NeRFNetwork.full_init
+    )
+    assert make_fused_density(hash_model, hash_params) is None
