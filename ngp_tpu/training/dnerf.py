@@ -223,20 +223,25 @@ class DNeRFTrainer(GridNeRFTrainer):
         occ: TimeOccupancyState = self.aux["occ"]
         if int(occ.iter_density) >= self.freeze_after:
             return  # frozen (dnerf/renderer.py:500)
+        T = self.render_cfg.time_size
+        # slices per dispatch: the reference loops all T slices on the
+        # host (dnerf/renderer.py:463-550; 64 tunnel round trips); one
+        # giant lax.map over T=64 slices FAULTS the v5e device (T<=32
+        # compiles and runs — measured), so the refresh runs in <=16
+        # slice chunks: T/16 dispatches, donated buffers, one final
+        # mean/iter combine.
+        C = min(getattr(self, "refresh_time_chunk", 16), T)
+        while T % C:
+            C -= 1
         if self._jit_update_occ is None:
-            T = self.render_cfg.time_size
-
-            def upd_all(params, occ_state: TimeOccupancyState, rng):
-                """ALL T slices in ONE dispatch: a lax.map over the time
-                axis (dnerf/renderer.py:463-550 loops over slices on the
-                host; 64 sequential dispatches through the remote-TPU
-                tunnel cost ~seconds each, one jitted map costs one).
-                Measured on v5e at T=64, H=128, hashgrid L8: 24 s per
-                full refresh (first 16 refreshes), ~1/4 of that for the
-                slab partial updates thereafter."""
+            def upd_chunk(params, occ_state: TimeOccupancyState, rng, t0):
                 half_t = 0.5 / T
-                keys = jax.random.split(rng, T)
-                times = (jnp.arange(T, dtype=jnp.float32) + 0.5) / T
+                keys = jax.random.split(rng, C)
+                times = (jnp.arange(C, dtype=jnp.float32) + t0 + 0.5) / T
+                dg_c = jax.lax.dynamic_slice_in_dim(
+                    occ_state.density_grid, t0, C, 0
+                )
+                og_c = jax.lax.dynamic_slice_in_dim(occ_state.occ_grid, t0, C, 0)
 
                 def one(args):
                     dg, og, k, time = args
@@ -268,24 +273,44 @@ class DNeRFTrainer(GridNeRFTrainer):
                                 sl.fine_payload)
                     return sl.density_grid, sl.occ_grid, sl.mean_density
 
-                outs = jax.lax.map(
-                    one, (occ_state.density_grid, occ_state.occ_grid, keys, times)
+                outs = jax.lax.map(one, (dg_c, og_c, keys, times))
+
+                def put(full, chunk):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        full, chunk, t0, 0
+                    )
+
+                new = occ_state.replace(
+                    density_grid=put(occ_state.density_grid, outs[0]),
+                    occ_grid=put(occ_state.occ_grid, outs[1]),
                 )
-                dgs, ogs, means = outs[:3]
-                return TimeOccupancyState(
-                    density_grid=dgs,
-                    occ_grid=ogs,
+                if self.render_cfg.turbo:
+                    new = new.replace(
+                        coarse_payload=put(occ_state.coarse_payload, outs[3]),
+                        fine_payload=put(occ_state.fine_payload, outs[4]),
+                    )
+                return new, jnp.mean(outs[2])
+
+            def finalize(occ_state: TimeOccupancyState, means):
+                return occ_state.replace(
                     mean_density=jnp.mean(means),
                     iter_density=occ_state.iter_density + 1,
-                    coarse_payload=outs[3] if len(outs) > 3 else None,
-                    fine_payload=outs[4] if len(outs) > 4 else None,
                 )
 
-            self._jit_update_occ = jax.jit(upd_all)
+            self._jit_update_occ = jax.jit(
+                upd_chunk, static_argnums=(3,), donate_argnums=(1,)
+            )
+            self._jit_finalize_occ = jax.jit(finalize, donate_argnums=(0,))
 
-        self.rng, k = jax.random.split(self.rng)
+        means = []
+        cur = occ
+        for t0 in range(0, T, C):
+            self.rng, k = jax.random.split(self.rng)
+            cur, m = self._jit_update_occ(self.state.params, cur, k, t0)
+            means.append(m)
+        cur = self._jit_finalize_occ(cur, jnp.stack(means))
         self.aux = dict(self.aux)
-        self.aux["occ"] = self._jit_update_occ(self.state.params, occ, k)
+        self.aux["occ"] = cur
 
     def train_on_dataset(self, train_ds, valid_ds=None, max_epochs: int = 1):
         # skip the static-NeRF mark_untrained (per-slice culling is the

@@ -175,6 +175,14 @@ class InteractiveSession:
                 # (occupancy.place_compact).
                 t.eval_max_samples = max(4, -(-int(arg) // 4) * 4)
                 t._jit_render_chunks = {}
+            elif op == "mean_samples" and hasattr(t, "eval_mean_samples"):
+                # water-filled global eval budget (mean samples/ray);
+                # 0 = no budget (full no-drop render). Scarce budgets
+                # trim the deepest samples of the longest rays, so the
+                # dial degrades smoothly instead of dropping pixels.
+                v = int(arg)
+                t.eval_mean_samples = None if v <= 0 else max(1, v)
+                t._jit_render_chunks = {}
             self._accum_pose = None
 
     # ---- training ---------------------------------------------------------

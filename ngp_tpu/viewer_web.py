@@ -37,6 +37,8 @@ img{display:block;margin:auto;cursor:grab}
   oninput="fetch('/ctl?op=fov&dx='+this.value)"><br>
  max samples/ray <input type="range" id="ms" min="2" max="64" value="32"
   onchange="fetch('/ctl?op=max_samples&dx='+this.value)"><br>
+ mean samples/ray <input type="range" id="ems" min="0" max="16" value="4"
+  onchange="fetch('/ctl?op=mean_samples&dx='+this.value)"><br>
  <button onclick="fetch('/ctl?op=train')">start/stop training</button>
  <button onclick="fetch('/ctl?op=save_ckpt')">save ckpt</button><br>
  <button onclick="fetch('/ctl?op=mode')">rgb/depth</button>

@@ -137,8 +137,13 @@ def test_widget_surface_aabb_and_requests(tmp_path):
     sess.request("save_ckpt")
     sess.request("reset")
     sess.request("max_samples", 8)
+    sess.request("mean_samples", 6)
     sess.service_requests()
     assert trainer.eval_max_samples == 8
+    assert trainer.eval_mean_samples == 6
+    sess.request("mean_samples", 0)  # 0 = no budget (full render)
+    sess.service_requests()
+    assert trainer.eval_mean_samples is None
     import os
 
     ckpts = os.listdir(os.path.join(str(tmp_path / "ws"), "checkpoints"))
