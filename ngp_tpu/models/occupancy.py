@@ -127,6 +127,10 @@ class OccupancyState:
     # update_occupancy always returns them freshly packed
     coarse_payload: Optional[jnp.ndarray] = None  # [CAS*Hc, 128] f32
     fine_payload: Optional[jnp.ndarray] = None  # [CAS*Hc^3, 2] u32
+    # 3^3-dilated coarse occupancy, byte-packed like coarse_payload —
+    # consumed by the eval-cull ray prepass (ray_prepass); the
+    # dilation makes a sparse probe lattice conservatively safe
+    prepass_payload: Optional[jnp.ndarray] = None  # [CAS*Hc, 128] f32
 
 
 COARSE_FACTOR = 4  # fine cells per coarse cell per axis
@@ -154,13 +158,53 @@ def pack_occupancy_payloads(occ_grid: jnp.ndarray):
     # coarse: any fine bit set; packed 8 cells/byte (z fastest), bytes
     # laid out [rows, 128] for the one-hot matmul lookup
     coarse = jnp.any(blocks, axis=1)  # [CAS*Hc^3], z fastest
-    byte_bits = coarse.reshape(-1, 8).astype(jnp.uint32)
-    bytes_ = jnp.sum(byte_bits << shifts[None, :8], axis=1, dtype=jnp.uint32)
+    coarse_payload = _pack_bits_payload(coarse)
+    return coarse_payload, fine_payload
+
+
+def _pack_bits_payload(bits_flat: jnp.ndarray) -> jnp.ndarray:
+    """Flat cell bits (z fastest) -> [rows, 128] f32 byte payload, the
+    layout `_coarse_lookup` / the Pallas lookup kernel consume."""
+    shifts = jnp.arange(8, dtype=jnp.uint32)
+    byte_bits = bits_flat.reshape(-1, 8).astype(jnp.uint32)
+    bytes_ = jnp.sum(byte_bits << shifts[None, :], axis=1, dtype=jnp.uint32)
     pad = (-bytes_.shape[0]) % 128
     if pad:
         bytes_ = jnp.concatenate([bytes_, jnp.zeros((pad,), jnp.uint32)])
-    coarse_payload = bytes_.astype(jnp.float32).reshape(-1, 128)
-    return coarse_payload, fine_payload
+    return bytes_.astype(jnp.float32).reshape(-1, 128)
+
+
+def pack_prepass_payload(occ_grid: jnp.ndarray) -> jnp.ndarray:
+    """occ_grid [CAS, H, H, H] bool -> dilated coarse payload
+    [CAS*Hc, 128] f32 for :func:`ray_prepass`.
+
+    Per cascade: pool fine occupancy to the coarse Hc^3 grid, then
+    dilate with a stride-1 3^3 max-pool. The dilation guarantees the
+    prepass's sparse probe lattice (spacing = one cascade-0 coarse
+    cell h) cannot miss occupied space: any main-march sample point is
+    within h/2 of some prepass probe, i.e. within one coarse cell of
+    the probe's cell in every cascade, which the 3^3 dilation covers.
+    (Cross-cascade level wobble of +-1 is handled by the prepass
+    testing three candidate levels when cascades > 1.)
+    """
+    cas, H = occ_grid.shape[0], occ_grid.shape[1]
+    F = COARSE_FACTOR
+    Hc = H // F
+    pooled = jnp.any(
+        occ_grid.reshape(cas, Hc, F, Hc, F, Hc, F), axis=(2, 4, 6)
+    )  # [cas, Hc, Hc, Hc]
+    d = pooled
+    for ax in (1, 2, 3):
+        lo = jnp.concatenate(
+            [jax.lax.slice_in_dim(d, 1, Hc, axis=ax),
+             jax.lax.slice_in_dim(d, Hc - 1, Hc, axis=ax)], axis=ax
+        )
+        hi = jnp.concatenate(
+            [jax.lax.slice_in_dim(d, 0, 1, axis=ax),
+             jax.lax.slice_in_dim(d, 0, Hc - 1, axis=ax)], axis=ax
+        )
+        d = d | lo | hi
+    return _pack_bits_payload(d.reshape(-1))
 
 
 def init_occupancy(cfg: RenderConfig) -> OccupancyState:
@@ -175,6 +219,7 @@ def init_occupancy(cfg: RenderConfig) -> OccupancyState:
         iter_density=jnp.int32(0),
         coarse_payload=coarse_payload,
         fine_payload=fine_payload,
+        prepass_payload=pack_prepass_payload(occ),
     )
 
 
@@ -351,6 +396,7 @@ def march_rays(
     perturb: bool = False,
     max_samples: Optional[int] = None,
     aabb: Optional[jnp.ndarray] = None,
+    t_range: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Fixed-shape masked equivalent of march_rays_train
     (raymarching.cu:312-490).
@@ -358,6 +404,8 @@ def march_rays(
     ``aabb`` optionally overrides the scene box for the ray interval —
     the inference-crop feature (GUI aabb_infer sliders,
     nerf/gui.py:316-338; occupancy still uses the full cubic bound).
+    ``t_range`` [N, 2] optionally clips each ray's [near, far] (the
+    eval prepass's per-ray interval, :func:`ray_prepass`).
 
     Returns per-ray compacted samples:
       xyzs [N, S, 3], dirs [N, S, 3], ts [N, S], deltas [N, S],
@@ -369,6 +417,9 @@ def march_rays(
     if aabb is None:
         aabb = jnp.asarray(cfg.aabb, jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+    if t_range is not None:
+        nears = jnp.maximum(nears, t_range[:, 0])
+        fars = jnp.minimum(fars, t_range[:, 1])
     hit = fars > nears
     fars_c = jnp.where(hit, fars, nears)
 
@@ -410,6 +461,112 @@ def march_rays(
         "nears": nears,
         "fars": fars,
     }
+
+
+def prepass_spacing(cfg: RenderConfig) -> float:
+    """Probe spacing of :func:`ray_prepass`: one cascade-0 coarse cell.
+    Samples are then within h/2 (= half a coarse cell, at every
+    cascade) of a probe, which the payload's 3^3 dilation covers."""
+    return 2.0 * min(1.0, cfg.bound) / (cfg.grid_size // COARSE_FACTOR)
+
+
+def prepass_probes(cfg: RenderConfig) -> int:
+    """Static probe count of the prepass lattice (covers the marched
+    span at :func:`prepass_spacing` + the half-step slack)."""
+    h = prepass_spacing(cfg)
+    span = (
+        2.0 * SQRT3 * cfg.bound
+        if cfg.lattice_span is None
+        else cfg.lattice_span
+    )
+    return max(int(math.ceil(span / h)) + 2, 2)
+
+
+def ray_prepass(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    state: OccupancyState,
+    cfg: RenderConfig,
+    aabb: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Conservative eval-cull prepass: cheap coarse hit test + per-ray
+    t-range, the first round of the two-round inference march.
+
+    The reference's inference loop stops paying for rays the moment
+    they die (alive-ray compaction, raymarching.cu:700-914 +
+    nerf/renderer.py:336-367). The TPU analog: ONE cheap pass over the
+    whole frame probes a DILATED coarse occupancy grid at one-coarse-
+    cell spacing (prepass_spacing — ~4x sparser than the march lattice
+    and with none of its selection machinery), yielding per ray
+      hit      — may this ray produce any march sample? (conservative:
+                 no false negatives, guaranteed by the 3^3 dilation in
+                 pack_prepass_payload + the 3-level test below)
+      t0, t1   — a [t0, t1] interval containing every possible sample
+    Misses composite to pure background with zero further work; hits
+    are re-chunked densely and marched with per-ray ``t_range`` clipped
+    to [t0, t1], so the main lattice's static span shrinks to the
+    occupied chord actually seen by the frame.
+
+    Works on the march's validity semantics only — any ray with >= 1
+    valid march sample is guaranteed hit; a hit ray may still produce
+    no samples (dilation slack).
+    """
+    if state.prepass_payload is None:
+        raise ValueError(
+            "ray_prepass needs state.prepass_payload "
+            "(pack_prepass_payload / update_occupancy)"
+        )
+    N = rays_o.shape[0]
+    H = cfg.grid_size
+    cas = cfg.cascades
+    F = COARSE_FACTOR
+    Hc = H // F
+    h = prepass_spacing(cfg)
+    Kp = prepass_probes(cfg)
+    dt_min, dt_max = dt_bounds(cfg)
+    if aabb is None:
+        aabb = jnp.asarray(cfg.aabb, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+    hit_box = fars > nears
+    ts = nears[:, None] + h * jnp.arange(Kp, dtype=jnp.float32)[None, :]
+    # the mip level the MAIN march would use at this t (same formula;
+    # dt is the march's clamp recurrence, not the prepass spacing)
+    if cfg.dt_gamma == 0.0:
+        dts = jnp.full_like(ts, dt_min)
+    else:
+        dts = jnp.clip(ts * cfg.dt_gamma, dt_min, dt_max)
+    x = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
+    x = jnp.clip(x, -cfg.bound, cfg.bound)
+
+    def lookup_level(level):
+        mip_bound = jnp.minimum(2.0 ** level.astype(jnp.float32), cfg.bound)
+        n = jnp.clip(
+            (0.5 * (x / mip_bound[..., None] + 1.0) * H).astype(jnp.int32),
+            0, H - 1,
+        )
+        c = n // F
+        flat = ((level * Hc + c[..., 0]) * Hc + c[..., 1]) * Hc + c[..., 2]
+        return _coarse_lookup(state.prepass_payload, flat)
+
+    if cas == 1:
+        occ = lookup_level(jnp.zeros(ts.shape, jnp.int32))
+    else:
+        # a main sample within h/2 of this probe can sit one mip level
+        # away (position/dt wobble across a power-of-2 boundary): test
+        # the probe's own level and both neighbors
+        level = jnp.maximum(mip_from_pos(x, cas), mip_from_dt(dts, H, cas))
+        occ = lookup_level(level)
+        occ = occ | lookup_level(jnp.maximum(level - 1, 0))
+        occ = occ | lookup_level(jnp.minimum(level + 1, cas - 1))
+    # a probe at t_p covers samples up to t_p + h/2; samples need
+    # t < far, so probes beyond far + h/2 can't matter
+    occ = occ & (ts <= fars[:, None] + 0.5 * h) & hit_box[:, None]
+    hit = jnp.any(occ, axis=1)
+    t0 = jnp.min(jnp.where(occ, ts, jnp.inf), axis=1) - 0.5 * h
+    t1 = jnp.max(jnp.where(occ, ts, -jnp.inf), axis=1) + 0.5 * h
+    t0 = jnp.where(hit, jnp.maximum(t0, nears), nears)
+    t1 = jnp.where(hit, jnp.minimum(t1, fars), nears)
+    return {"hit": hit, "t0": t0, "t1": t1, "nears": nears, "fars": fars}
 
 
 def composite_rays(
@@ -463,12 +620,20 @@ def render_rays_grid(
     bg_fn: Optional[Callable] = None,
     max_samples: Optional[int] = None,
     aabb: Optional[jnp.ndarray] = None,
+    t_range: Optional[jnp.ndarray] = None,
+    return_geo: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full accelerated render: march → network → composite
-    (run_cuda equivalent, renderer.py:256-321)."""
+    (run_cuda equivalent, renderer.py:256-321).
+
+    ``return_geo=True``: also return the density_fn's geometry aux
+    (out["geo"], [N, S, ...]) with its validity mask
+    (out["compact_valid"], [N, S]) — same contract as the turbo
+    renderer's compact-batch form, consumed by D-NeRF's deform
+    regulariser (dnerf/utils.py:117-119)."""
     m = march_rays(
         rays_o, rays_d, state, cfg, rng=rng, perturb=perturb,
-        max_samples=max_samples, aabb=aabb,
+        max_samples=max_samples, aabb=aabb, t_range=t_range,
     )
     sigmas, geo = density_fn(m["xyzs"])
     rgbs = color_fn(m["dirs"], geo)
@@ -486,6 +651,9 @@ def render_rays_grid(
     out["image"] = out["image"] + (1.0 - out["weights_sum"])[..., None] * bg
     out["n_samples"] = jnp.sum(m["mask"])
     out["ts"], out["deltas"] = m["ts"], m["deltas"]  # for distortion loss
+    if return_geo:
+        out["geo"] = geo
+        out["compact_valid"] = m["mask"]
     return out
 
 
@@ -541,6 +709,7 @@ def march_rays_turbo(
     perturb: bool = False,
     max_samples: Optional[int] = None,
     aabb: Optional[jnp.ndarray] = None,
+    t_range: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """TPU-native v2 of march_rays_train (raymarching.cu:312-490).
 
@@ -601,6 +770,12 @@ def march_rays_turbo(
     if aabb is None:
         aabb = jnp.asarray(cfg.aabb, jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+    if t_range is not None:
+        # per-ray eval-prepass clip (ray_prepass): the lattice starts
+        # at the first possibly-occupied t, so the static probe span
+        # only needs to cover the occupied chord, not the whole box
+        nears = jnp.maximum(nears, t_range[:, 0])
+        fars = jnp.minimum(fars, t_range[:, 1])
     hit = fars > nears
     fars_c = jnp.where(hit, fars, nears)
 
@@ -811,7 +986,8 @@ place_compact.defvjp(_place_fwd, _place_bwd)
 
 
 def _turbo_compact_geometry(
-    rays_o, rays_d, state, cfg, rng, perturb, max_samples, aabb, budget
+    rays_o, rays_d, state, cfg, rng, perturb, max_samples, aabb, budget,
+    t_range=None,
 ):
     """Shared turbo-render prologue: march -> ALIGN-padded valid-sample
     compaction -> per-compact-sample geometry rebuild.
@@ -843,7 +1019,7 @@ def _turbo_compact_geometry(
     N = rays_o.shape[0]
     m = march_rays_turbo(
         rays_o, rays_d, state, cfg, rng=rng, perturb=perturb,
-        max_samples=max_samples, aabb=aabb,
+        max_samples=max_samples, aabb=aabb, t_range=t_range,
     )
     S = m["mask"].shape[1]
     water_fill = budget is not None  # explicit (eval) budgets only
@@ -966,6 +1142,7 @@ def render_rays_grid_turbo(
     aabb: Optional[jnp.ndarray] = None,
     budget: Optional[int] = None,
     return_geo: bool = False,
+    t_range: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Accelerated render v2: turbo march -> global valid-sample
     compaction -> network on the compact batch -> windowed placement ->
@@ -981,7 +1158,7 @@ def render_rays_grid_turbo(
     m, S, budget, src, valid_m, offsets, t_c, pts, dirs, maskb = (
         _turbo_compact_geometry(
             rays_o, rays_d, state, cfg, rng, perturb, max_samples, aabb,
-            budget,
+            budget, t_range=t_range,
         )
     )
     sigmas, geo = density_fn(pts)
@@ -1119,6 +1296,7 @@ def update_occupancy(
         iter_density=state.iter_density + 1,
         coarse_payload=coarse_payload,
         fine_payload=fine_payload,
+        prepass_payload=pack_prepass_payload(occ),
     )
 
 

@@ -153,8 +153,10 @@ class NeRFTrainer(Trainer):
 
     def render_batch(
         self, params, rays_o, rays_d, rng=None, perturb=False, bg_color=None,
-        aux=None, aabb=None,
+        aux=None, aabb=None, t_range=None,
     ) -> Dict[str, jnp.ndarray]:
+        if t_range is not None:
+            raise ValueError("t_range needs the occupancy-grid path")
         density_fn, color_fn, bg_fn = self._fns(params)
         return render_rays(
             density_fn,
@@ -211,13 +213,25 @@ class NeRFTrainer(Trainer):
         else:
             gt_rgb = pixels
 
+        # dynamic scenes: the frame's time rides the batch and becomes
+        # a render_batch kwarg (D-NeRF shares this train step wholesale,
+        # like the reference's dnerf/utils.py subclassing nerf/utils.py)
+        render_kw = {}
+        if "times" in batch:
+            render_kw["time"] = batch["times"][idx]
+
         def loss_fn(params):
             out = self.render_batch(
                 params, rays["rays_o"], rays["rays_d"],
                 rng=k_render, perturb=True, bg_color=bg_color, aux=aux,
+                **render_kw,
             )
             per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)  # [N]
-            loss = per_ray.mean() + self._loss_extra(params)
+            loss = (
+                per_ray.mean()
+                + self._loss_extra(params)
+                + self._render_loss_extra(params, out)
+            )
             wd = self.train_cfg.distortion_weight
             if wd > 0:
                 # reference loss.py:30-76 EffDistLoss; padded slots have
@@ -262,6 +276,11 @@ class NeRFTrainer(Trainer):
         wt = self.train_cfg.tv_weight
         if wt > 0 and hasattr(type(self.model), "tv_loss"):
             return wt * self.model.apply(params, method=type(self.model).tv_loss)
+        return 0.0
+
+    def _render_loss_extra(self, params, out):
+        """Loss terms computed from the render OUTPUT (overridden by
+        D-NeRF for the per-sample deform L1, dnerf/utils.py:117-119)."""
         return 0.0
 
     # ---- random-pose guidance steps (CLIP mode) ---------------------------
@@ -328,7 +347,8 @@ class NeRFTrainer(Trainer):
             getattr(self, "_eval_lattice_span", None),
         )
 
-    def _chunk_renderer(self, chunk: int, H: int, W: int):
+    def _chunk_renderer(self, chunk: int, H: int, W: int,
+                        with_t_range: bool = False):
         """Multi-frame renderer: lax.map over PIXEL-INDEX chunks inside
         one jit call; each ray carries a frame id and unprojects through
         its own pose (rays_from_frame_indices). Rays are generated ON
@@ -338,14 +358,25 @@ class NeRFTrainer(Trainer):
         device). A host-side loop would pay a tunnel round-trip per
         chunk (~1 s each); one dispatch renders a whole GROUP of eval
         frames with peak memory of a single chunk (the reference loops
-        frames through test_step, nerf/utils.py:665-713)."""
-        key = (chunk, H, W) + self._eval_dial_key()
+        frames through test_step, nerf/utils.py:665-713).
+
+        ``with_t_range=True`` (eval prepass active): the renderer takes
+        the prepass's flat per-(frame, pixel) t0/t1 arrays and each ray
+        marches only its own [t0, t1] interval.
+
+        ``times`` [F]: per-frame scene times, traced — D-NeRF renders
+        through this same path with eval_frame_group=1, so each chunk's
+        rays share one frame/time and the grid slice is selected once
+        per chunk (the reference's dnerf eval inherits nerf/utils.py:316
+        the same way)."""
+        key = (chunk, H, W, with_t_range) + self._eval_dial_key()
         if key not in self._jit_render_chunks:
             @jax.jit
             def render_frame_fn(params, aux, poses, intrinsics, inds_chunks,
-                                fids_chunks, aabb):
+                                fids_chunks, aabb, t0_flat, t1_flat, times):
                 def one(args):
                     inds, fids = args
+                    tval = jnp.take(times, fids[0])  # chunk-major time
                     rays = rays_from_frame_indices(
                         poses, intrinsics, H, W, inds, fids
                     )
@@ -359,9 +390,16 @@ class NeRFTrainer(Trainer):
                         ns = NamedSharding(self.mesh, PartitionSpec("data"))
                         ro = jax.lax.with_sharding_constraint(ro, ns)
                         rd = jax.lax.with_sharding_constraint(rd, ns)
-                    out = self.render_batch(
-                        params, ro, rd, bg_color=jnp.float32(1.0), aux=aux,
-                        aabb=aabb,
+                    t_range = None
+                    if with_t_range:
+                        fl = fids * (H * W) + inds
+                        t_range = jnp.stack(
+                            [jnp.take(t0_flat, fl), jnp.take(t1_flat, fl)],
+                            axis=-1,
+                        )
+                    out = self._render_batch_eval(
+                        params, ro, rd, aux=aux, aabb=aabb, t_range=t_range,
+                        time=tval,
                     )
                     # quantized transfer (10 MB/frame f32 at 800x800
                     # through the remote-TPU tunnel): u8 for the image —
@@ -378,6 +416,16 @@ class NeRFTrainer(Trainer):
 
             self._jit_render_chunks[key] = render_frame_fn
         return self._jit_render_chunks[key]
+
+    def _render_batch_eval(
+        self, params, rays_o, rays_d, aux, aabb, t_range, time
+    ):
+        """Eval-side render_batch adapter for the shared chunk renderer;
+        D-NeRF overrides to forward the traced per-frame ``time``."""
+        return self.render_batch(
+            params, rays_o, rays_d, bg_color=jnp.float32(1.0), aux=aux,
+            aabb=aabb, t_range=t_range,
+        )
 
     def eval_params(self):
         return (
@@ -399,11 +447,13 @@ class NeRFTrainer(Trainer):
 
     def render_frames(
         self, poses, intrinsics, H: int, W: int, chunk: int = 0, params=None,
-        want_depth: bool = True, async_result: bool = False,
+        want_depth: bool = True, async_result: bool = False, times=None,
     ):
         """Render a GROUP of frames in one device dispatch.
 
         poses [F, 4, 4] -> (images [F, H, W, 3], depths [F, H, W]).
+        ``times`` [F]: per-frame scene times for dynamic (D-NeRF)
+        trainers; ignored by static ones.
 
         ``async_result=True`` returns a zero-arg ``finalize()`` callable
         instead: the device work is dispatched but the host transfer +
@@ -441,6 +491,19 @@ class NeRFTrainer(Trainer):
             self._set_eval_lattice_span(aabb_eff)
         elif hasattr(self, "_eval_lattice_span"):
             self._eval_lattice_span = None
+        # eval-cull prepass (grid trainers): one cheap dilated-coarse
+        # pass over the frame yields per-ray hit/[t0, t1]; misses render
+        # as background with no further work, hits march only their own
+        # interval and the main lattice span shrinks to the longest
+        # per-ray occupied chord (the TPU answer to the reference's
+        # alive-ray early-out, nerf/renderer.py:336-367)
+        pre = None
+        run_pre = getattr(self, "_run_eval_prepass", None)
+        if run_pre is not None:
+            pre = run_pre(poses, intrinsics, H, W, aabb_eff, times=times)
+        if pre is not None:
+            hit_np, t0_dev, t1_dev, ray_span = pre
+            self._set_eval_lattice_span_value(ray_span)
         n = H * W
         # shuffle rays across the frame so each chunk sees the
         # FRAME-AVERAGE occupancy: coherent pixel blocks alternate
@@ -453,6 +516,8 @@ class NeRFTrainer(Trainer):
         sels, fids = [], []
         for f in range(F):
             sel = perm
+            if pre is not None:
+                sel = sel[hit_np[f, sel]]
             # pixel-bbox cull: rays outside the projected AABB composite
             # to pure background and never reach the device (the
             # reference culls per-step with alive compaction; at frame
@@ -504,13 +569,25 @@ class NeRFTrainer(Trainer):
                 df = jnp.asarray(fpad.reshape(C, chunk).astype(np.int32))
                 if no_cull:
                     self._device_inds_cache[cache_key] = (di, df)
-            render = self._chunk_renderer(chunk, H, W)
+            render = self._chunk_renderer(
+                chunk, H, W, with_t_range=pre is not None
+            )
+            if pre is not None:
+                t0a, t1a = t0_dev, t1_dev
+            else:
+                t0a = t1a = jnp.zeros((1,), jnp.float32)
+            times_a = (
+                jnp.zeros((F,), jnp.float32) if times is None
+                else jnp.asarray(np.asarray(times, np.float32).reshape(F))
+            )
             img, dep = render(
                 params, self.aux,
                 jnp.asarray(poses),
                 jnp.asarray(np.asarray(intrinsics, np.float32)),
                 di, df,
                 jnp.asarray(aabb_eff),
+                t0a, t1a,
+                times_a,
             )
         def finalize():
             if img is not None:
@@ -523,6 +600,9 @@ class NeRFTrainer(Trainer):
                     )
             return images.reshape(F, H, W, 3), depths.reshape(F, H, W)
 
+        # device handles exposed for callers that need to await device
+        # completion WITHOUT the host transfer (benchmark scripts)
+        finalize.device_arrays = (img, dep)
         return finalize if async_result else finalize()
 
     def _project_aabb_bbox(self, pose, intrinsics, H: int, W: int, aabb=None):
@@ -642,17 +722,27 @@ class NeRFTrainer(Trainer):
         the last pose so ONE group shape compiles."""
         group = max(1, int(getattr(self, "eval_frame_group", 8)))
         group = min(group, n)
+        all_times = getattr(dataset, "times", None)
         pending = None  # (g0, gF, finalize)
         for g0 in range(0, n, group):
             gF = min(group, n - g0)
             poses = np.asarray(dataset.poses[g0 : g0 + gF], np.float32)
+            times = (
+                np.asarray(all_times[g0 : g0 + gF], np.float32)
+                if all_times is not None and len(all_times) >= g0 + gF
+                else None
+            )
             if gF < group:  # pad: repeat last pose, drop its outputs
                 poses = np.concatenate(
                     [poses, np.repeat(poses[-1:], group - gF, axis=0)]
                 )
+                if times is not None:
+                    times = np.concatenate(
+                        [times, np.repeat(times[-1:], group - gF)]
+                    )
             fin = self.render_frames(
                 poses, dataset.intrinsics, dataset.H, dataset.W,
-                want_depth=False, async_result=True,
+                want_depth=False, async_result=True, times=times,
             )
             if pending is not None:
                 p0, pF, pfin = pending

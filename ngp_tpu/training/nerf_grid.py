@@ -79,16 +79,38 @@ class GridNeRFTrainer(NeRFTrainer):
         self._eval_lattice_span: Optional[float] = None
         self._tight_box_for = None  # occ state the cached box belongs to
         self._tight_box_cache = None
+        # two-round eval march: a cheap conservative prepass
+        # (occupancy.ray_prepass) culls never-hit rays from the frame
+        # and gives the hits per-ray [t0, t1] march intervals — the TPU
+        # equivalent of the reference's alive-ray compaction loop
+        # (nerf/renderer.py:336-367) at frame granularity
+        self.eval_prepass: bool = True
+        self._jit_prepass = {}
+        self._prepass_inds_cache = {}
 
     def init_aux(self) -> Any:
         return {"occ": init_occupancy(self.render_cfg)}
 
     def render_batch(
         self, params, rays_o, rays_d, rng=None, perturb=False, bg_color=None,
-        aux=None, aabb=None,
+        aux=None, aabb=None, t_range=None,
     ):
         density_fn, color_fn, bg_fn = self._fns(params)
         occ = aux["occ"] if aux is not None else init_occupancy(self.render_cfg)
+        return self._render_with(
+            density_fn, color_fn, bg_fn, occ, rays_o, rays_d,
+            rng=rng, perturb=perturb, bg_color=bg_color, aabb=aabb,
+            t_range=t_range,
+        )
+
+    def _render_with(
+        self, density_fn, color_fn, bg_fn, occ, rays_o, rays_d,
+        rng=None, perturb=False, bg_color=None, aabb=None, t_range=None,
+        return_geo=False,
+    ):
+        """Shared dial-aware dispatch onto the turbo / v1 grid
+        renderers; subclasses with their own heads/occupancy slicing
+        (D-NeRF) reuse the eval-dial logic through this."""
         # eval-budget override only applies outside training steps
         # (training passes rng+perturb)
         max_samples = None if perturb else self.eval_max_samples
@@ -130,6 +152,7 @@ class GridNeRFTrainer(NeRFTrainer):
                 density_fn, color_fn, rays_o, rays_d, occ, cfg,
                 rng=rng, perturb=perturb, bg_color=bg_color, bg_fn=bg_fn,
                 max_samples=max_samples, budget=budget, aabb=aabb,
+                t_range=t_range, return_geo=return_geo,
             )
         return render_rays_grid(
             density_fn,
@@ -144,6 +167,8 @@ class GridNeRFTrainer(NeRFTrainer):
             bg_fn=bg_fn,
             max_samples=max_samples,
             aabb=aabb,
+            t_range=t_range,
+            return_geo=return_geo,
         )
 
     def _fetch_eval_tight_box(self):
@@ -174,6 +199,106 @@ class GridNeRFTrainer(NeRFTrainer):
         q = chord / 8.0
         bucket = min(math.ceil(max(span, q) / q) * q, chord)
         self._eval_lattice_span = None if bucket >= chord else bucket
+
+    def _set_eval_lattice_span_value(self, span: float) -> None:
+        """Like :meth:`_set_eval_lattice_span` but from a measured
+        per-ray span scalar (the prepass's longest [t0, t1] interval) —
+        finer 1/16-chord buckets, since the per-ray span is usually
+        much shorter than the occupied box's diameter."""
+        cfg = self.render_cfg
+        chord = 2.0 * SQRT3 * cfg.bound
+        q = chord / 16.0
+        bucket = min(math.ceil(max(float(span), q) / q) * q, chord)
+        self._eval_lattice_span = None if bucket >= chord else bucket
+
+    def _prepass_occ(self, aux, tval):
+        """Occupancy state the eval prepass probes; D-NeRF overrides to
+        slice its time-sliced state at the frame's time."""
+        return aux["occ"]
+
+    def _run_eval_prepass(self, poses, intrinsics, H: int, W: int, aabb_eff,
+                          times=None):
+        """Frame-level eval cull (see occupancy.ray_prepass): returns
+        (hit [F, H*W] bool numpy, t0_flat, t1_flat device arrays,
+        max hit span float) or None when the prepass doesn't apply."""
+        cfg = self.render_cfg
+        if not (self.eval_prepass and cfg.turbo):
+            return None
+        if cfg.bg_radius > 0:  # misses must still render the bg net
+            return None
+        occ = (self.aux or {}).get("occ")
+        if occ is None or getattr(occ, "prepass_payload", None) is None:
+            return None
+        time_sliced = occ.occ_grid.ndim != 4
+        if time_sliced and not getattr(self, "_prepass_time_sliced", False):
+            return None
+        import dataclasses
+
+        from ngp_tpu.data.raysampler import rays_from_frame_indices
+        from ngp_tpu.models.occupancy import ray_prepass
+
+        F = int(np.asarray(poses).shape[0])
+        if time_sliced and F != 1:
+            return None  # one payload slice per dispatch (group=1)
+        n = H * W
+        chunk = 65536
+        Cp = -(-F * n // chunk)
+        ikey = (F, n, chunk)
+        if ikey in self._prepass_inds_cache:
+            di, df = self._prepass_inds_cache[ikey]
+        else:
+            inds = np.tile(np.arange(n, dtype=np.int32), F)
+            fid = np.repeat(np.arange(F, dtype=np.int32), n)
+            pad = Cp * chunk - F * n
+            if pad:
+                inds = np.concatenate([inds, np.full(pad, inds[-1], np.int32)])
+                fid = np.concatenate([fid, np.full(pad, fid[-1], np.int32)])
+            di = jnp.asarray(inds.reshape(Cp, chunk))
+            df = jnp.asarray(fid.reshape(Cp, chunk))
+            self._prepass_inds_cache[ikey] = (di, df)
+        # the prepass marches the tight-box span set just above by
+        # render_frames (the per-ray spans it produces then shrink the
+        # MAIN march's bucket below it)
+        span = self._eval_lattice_span
+        pkey = (Cp, chunk, H, W, span)
+        if pkey not in self._jit_prepass:
+            pcfg = dataclasses.replace(cfg, lattice_span=span)
+
+            @jax.jit
+            def prepass_fn(aux, poses_d, intr, inds_chunks, fids_chunks, aabb,
+                           tval):
+                occ_s = self._prepass_occ(aux, tval)
+
+                def one(args):
+                    inds, fids = args
+                    rays = rays_from_frame_indices(
+                        poses_d, intr, H, W, inds, fids
+                    )
+                    out = ray_prepass(
+                        rays["rays_o"], rays["rays_d"], occ_s, pcfg, aabb=aabb
+                    )
+                    return (
+                        out["hit"],
+                        out["t0"],
+                        jnp.where(out["hit"], out["t1"] - out["t0"], 0.0),
+                    )
+
+                hits, t0s, spans = jax.lax.map(
+                    one, (inds_chunks, fids_chunks)
+                )
+                return hits, t0s, t0s + spans, jnp.max(spans)
+
+            self._jit_prepass[pkey] = prepass_fn
+        t0v = 0.0 if times is None else float(np.asarray(times).reshape(-1)[0])
+        hits, t0s, t1s, max_span = self._jit_prepass[pkey](
+            self.aux,
+            jnp.asarray(np.asarray(poses, np.float32)),
+            jnp.asarray(np.asarray(intrinsics, np.float32)),
+            di, df, jnp.asarray(aabb_eff, jnp.float32),
+            jnp.float32(t0v),
+        )
+        hit_np = np.asarray(hits).reshape(-1)[: F * n].reshape(F, n)
+        return hit_np, t0s.reshape(-1), t1s.reshape(-1), float(max_span)
 
     # ---- occupancy maintenance -------------------------------------------
 

@@ -5,6 +5,8 @@ time, the reference's 30k-step lego budget on V100), eval on the FULL
 held-out split at 800x800, PSNR + SSIM reported.
 
 Env: NGP_SECONDS (train seconds after compile, default 300),
+NGP_MAXSTEPS (stop at a step count instead — the reference's own
+30k-step protocol, readme.md:213; overrides NGP_SECONDS when set),
 NGP_ERROR_MAP=1 (enable error-map sampling), NGP_PRESET
 (turbo-hq default | turbo), NGP_VIEWS (default 50), NGP_H (default 800),
 NGP_VARIANT (default hard).
@@ -27,6 +29,7 @@ def main():
     from ngp_tpu.training.nerf_grid import GridNeRFTrainer
 
     seconds = float(os.environ.get("NGP_SECONDS", "300"))
+    max_steps = int(os.environ.get("NGP_MAXSTEPS", "0"))
     use_error_map = os.environ.get("NGP_ERROR_MAP", "0") == "1"
     preset = os.environ.get("NGP_PRESET", "turbo-hq")
     n_views = int(os.environ.get("NGP_VIEWS", "50"))
@@ -103,7 +106,9 @@ def main():
             el = time.perf_counter() - t_start
             print(f"step {done}: loss {float(m['loss']):.5f} ({el:.0f}s)",
                   flush=True)
-            if el >= seconds:
+            if max_steps and done >= max_steps:
+                break
+            if not max_steps and el >= seconds:
                 break
     jax.block_until_ready(trainer.state.params)
     wall = time.perf_counter() - t_start

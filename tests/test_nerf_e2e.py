@@ -321,6 +321,9 @@ def test_eval_tight_march(synth_root, tmp_path):
     val_ds = NeRFDataset(synth_root, split="val", scale=0.8)
     trainer = _turbo_trainer(tmp_path)
     trainer.ensure_initialized()
+    # isolate the tight-box span logic from the eval prepass (which
+    # sets its own, per-ray span bucket — tests/test_eval_prepass.py)
+    trainer.eval_prepass = False
     pose = np.asarray(val_ds.poses[0], np.float32)
 
     # fresh grid = fully occupied: tight marching must stay disabled
