@@ -19,16 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ngp_tpu.config import RenderConfig
-from ngp_tpu.data.raysampler import rays_from_indices, sample_ray_indices
-from ngp_tpu.models.occupancy import (
-    OccupancyState,
-    composite_rays,
-    march_rays,
-    update_occupancy,
-)
+from ngp_tpu.models.occupancy import OccupancyState, update_occupancy
 
 from ngp_tpu.training.nerf_grid import GridNeRFTrainer
-from ngp_tpu.training.state import apply_gradients, create_train_state
+from ngp_tpu.training.state import create_train_state
 
 
 @flax.struct.dataclass
@@ -47,19 +41,25 @@ class TimeOccupancyState:
     iter_density: jnp.ndarray
     coarse_payload: jnp.ndarray | None = None  # [T, rows, 128]
     fine_payload: jnp.ndarray | None = None  # [T, CAS*Hc^3, 2] u32
+    prepass_payload: jnp.ndarray | None = None  # [T, rows, 128]
 
 
 def init_time_occupancy(cfg: RenderConfig) -> TimeOccupancyState:
     H, cas, T = cfg.grid_size, cfg.cascades, cfg.time_size
     occ = jnp.ones((T, cas, H, H, H), jnp.bool_)
-    cp = fp = None
+    cp = fp = pp = None
     if cfg.turbo:
-        from ngp_tpu.models.occupancy import pack_occupancy_payloads
+        from ngp_tpu.models.occupancy import (
+            pack_occupancy_payloads,
+            pack_prepass_payload,
+        )
 
         # all slices start identical (fully occupied): pack once
         cp1, fp1 = pack_occupancy_payloads(occ[0])
         cp = jnp.broadcast_to(cp1[None], (T,) + cp1.shape)
         fp = jnp.broadcast_to(fp1[None], (T,) + fp1.shape)
+        pp1 = pack_prepass_payload(occ[0])
+        pp = jnp.broadcast_to(pp1[None], (T,) + pp1.shape)
     return TimeOccupancyState(
         density_grid=jnp.zeros((T, cas, H, H, H), jnp.float32),
         occ_grid=occ,
@@ -67,6 +67,7 @@ def init_time_occupancy(cfg: RenderConfig) -> TimeOccupancyState:
         iter_density=jnp.int32(0),
         coarse_payload=cp,
         fine_payload=fp,
+        prepass_payload=pp,
     )
 
 
@@ -76,34 +77,51 @@ def slice_at_time(state: TimeOccupancyState, time, cfg: RenderConfig) -> Occupan
     t_idx = jnp.clip(
         jnp.floor(time * cfg.time_size).astype(jnp.int32), 0, cfg.time_size - 1
     )
+
+    def pick(x):
+        return (
+            None if x is None
+            else jax.lax.dynamic_index_in_dim(x, t_idx, keepdims=False)
+        )
+
     return OccupancyState(
         density_grid=state.density_grid[t_idx],
         occ_grid=state.occ_grid[t_idx],
         mean_density=state.mean_density,
         iter_density=state.iter_density,
-        coarse_payload=(
-            None if state.coarse_payload is None
-            else jax.lax.dynamic_index_in_dim(
-                state.coarse_payload, t_idx, keepdims=False
-            )
-        ),
-        fine_payload=(
-            None if state.fine_payload is None
-            else jax.lax.dynamic_index_in_dim(
-                state.fine_payload, t_idx, keepdims=False
-            )
-        ),
+        coarse_payload=pick(state.coarse_payload),
+        fine_payload=pick(state.fine_payload),
+        prepass_payload=pick(state.prepass_payload),
     )
 
 
 class DNeRFTrainer(GridNeRFTrainer):
-    """Trainer for DNeRFNetwork / DNeRFBasisNetwork models."""
+    """Trainer for DNeRFNetwork / DNeRFBasisNetwork models.
+
+    Round 4: the eval/train stack is SHARED with the static trainer —
+    the reference's D-NeRF inherits the full Trainer the same way
+    (dnerf/utils.py subclasses nerf/utils.py:316 wholesale). The frame
+    renderer takes the scene time as a traced argument, so D-NeRF
+    frames get the u8 quantized transfer, device index caches, pixel
+    bbox cull, eval prepass (per time slice), pipelined groups and
+    SSIM/LPIPS metering for free; train_step is the base one (error-map
+    and patch sampling included) plus the deform-L1 hook."""
 
     deform_reg_weight: float = 1e-3  # dnerf/utils.py:117-119
     freeze_after: int = 100  # dnerf/renderer.py:500
+    _prepass_time_sliced = True  # eval prepass slices at the frame time
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # one frame per eval dispatch: each chunk's rays must share one
+        # time slice (the packed payloads are sliced per dispatch)
+        self.eval_frame_group = 1
 
     def init_aux(self) -> Any:
         return {"occ": init_time_occupancy(self.render_cfg)}
+
+    def _prepass_occ(self, aux, tval):
+        return slice_at_time(aux["occ"], tval, self.render_cfg)
 
     def init_state(self, rng):
         x0 = jnp.zeros((8, 3))
@@ -132,90 +150,39 @@ class DNeRFTrainer(GridNeRFTrainer):
 
     def render_batch(
         self, params, rays_o, rays_d, rng=None, perturb=False, bg_color=None,
-        aux=None, time=0.0,
+        aux=None, aabb=None, t_range=None, time=0.0,
     ):
         occ = aux["occ"] if aux is not None else init_time_occupancy(self.render_cfg)
         occ_slice = slice_at_time(occ, time, self.render_cfg)
         density_fn, color_fn = self._time_fns(params, time)
-        if self.render_cfg.turbo:
-            # flagship matmul march on the time slice; geometry aux
-            # (deform dx) comes back for the compact batch
-            from ngp_tpu.models.occupancy import render_rays_grid_turbo
-
-            max_samples = None if perturb else self.eval_max_samples
-            budget = None
-            if not perturb:
-                S = max_samples or self.render_cfg.max_samples_per_ray
-                ems = self.eval_mean_samples
-                budget = rays_o.shape[0] * (S if ems is None else min(ems, S))
-            out = render_rays_grid_turbo(
-                density_fn, color_fn, rays_o, rays_d, occ_slice,
-                self.render_cfg, rng=rng, perturb=perturb,
-                bg_color=bg_color if bg_color is not None else jnp.float32(1.0),
-                max_samples=max_samples, budget=budget, return_geo=True,
-            )
-            geo_pack = out.pop("geo")
-            out["deform"] = geo_pack[1]
-            out["sample_mask"] = out.pop("compact_valid")
-            return out
-        m = march_rays(
-            rays_o, rays_d, occ_slice, self.render_cfg, rng=rng, perturb=perturb
+        out = self._render_with(
+            density_fn, color_fn, None, occ_slice, rays_o, rays_d,
+            rng=rng, perturb=perturb,
+            bg_color=bg_color if bg_color is not None else jnp.float32(1.0),
+            aabb=aabb, t_range=t_range, return_geo=True,
         )
-        sigmas, geo_pack = density_fn(m["xyzs"])
-        rgbs = color_fn(m["dirs"], geo_pack)
-        out = composite_rays(
-            sigmas, rgbs, m["ts"], m["deltas"], m["mask"], m["nears"], m["fars"],
-            density_scale=self.render_cfg.density_scale,
-            t_thresh=self.render_cfg.t_thresh,
-        )
-        if bg_color is None:
-            bg_color = jnp.float32(1.0)
-        out["image"] = out["image"] + (1.0 - out["weights_sum"])[..., None] * bg_color
+        # geometry aux = (geo features, deform dx) for the deform reg
+        geo_pack = out.pop("geo")
         out["deform"] = geo_pack[1]
-        out["sample_mask"] = m["mask"]
+        out["sample_mask"] = out.pop("compact_valid")
         return out
 
-    # ---- train step (time-aware) ------------------------------------------
+    def _render_batch_eval(
+        self, params, rays_o, rays_d, aux, aabb, t_range, time
+    ):
+        return self.render_batch(
+            params, rays_o, rays_d, bg_color=jnp.float32(1.0), aux=aux,
+            aabb=aabb, t_range=t_range, time=time,
+        )
 
-    def train_step(self, state, aux, batch, rng):
-        images = batch["images"]
-        poses = batch["poses"]
-        intrinsics = batch["intrinsics"]
-        times = batch["times"]
-        idx = batch["idx"]
-        F, H, W, C = images.shape
-        n_rays = self.train_cfg.num_rays
-
-        k_pix, k_bg, k_render = jax.random.split(rng, 3)
-        image = images[idx]
-        pose = poses[idx]
-        time = times[idx]
-
-        sample = sample_ray_indices(k_pix, H, W, n_rays)
-        inds = sample["inds"]
-        rays = rays_from_indices(pose, intrinsics, H, W, inds)
-        pixels = image.reshape(H * W, C)[inds].astype(jnp.float32)
-        if C == 4:
-            bg_color = jax.random.uniform(k_bg, (n_rays, 3))
-            gt_rgb = pixels[..., :3] * pixels[..., 3:] + bg_color * (1.0 - pixels[..., 3:])
-        else:
-            bg_color = jnp.float32(1.0)
-            gt_rgb = pixels
-
-        def loss_fn(params):
-            out = self.render_batch(
-                params, rays["rays_o"], rays["rays_d"],
-                rng=k_render, perturb=True, bg_color=bg_color, aux=aux, time=time,
-            )
-            mse = jnp.mean((out["image"] - gt_rgb) ** 2)
-            deform = out["deform"]
-            dmask = out["sample_mask"][..., None]
-            reg = jnp.sum(jnp.abs(deform) * dmask) / (jnp.sum(dmask) * 3 + 1e-6)
-            return mse + self.deform_reg_weight * reg, mse
-
-        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = apply_gradients(state, grads, self.tx, ema_decay=self.ema_decay)
-        return state, aux, {"loss": mse}
+    def _render_loss_extra(self, params, out):
+        """Deform L1 over valid samples (dnerf/utils.py:117-119)."""
+        deform = out.get("deform")
+        if deform is None:
+            return 0.0
+        dmask = out["sample_mask"][..., None]
+        reg = jnp.sum(jnp.abs(deform) * dmask) / (jnp.sum(dmask) * 3 + 1e-6)
+        return self.deform_reg_weight * reg
 
     # ---- occupancy maintenance (all slices, frozen after 100) -------------
 
@@ -270,7 +237,7 @@ class DNeRFTrainer(GridNeRFTrainer):
                     if self.render_cfg.turbo:
                         return (sl.density_grid, sl.occ_grid,
                                 sl.mean_density, sl.coarse_payload,
-                                sl.fine_payload)
+                                sl.fine_payload, sl.prepass_payload)
                     return sl.density_grid, sl.occ_grid, sl.mean_density
 
                 outs = jax.lax.map(one, (dg_c, og_c, keys, times))
@@ -288,6 +255,7 @@ class DNeRFTrainer(GridNeRFTrainer):
                     new = new.replace(
                         coarse_payload=put(occ_state.coarse_payload, outs[3]),
                         fine_payload=put(occ_state.fine_payload, outs[4]),
+                        prepass_payload=put(occ_state.prepass_payload, outs[5]),
                     )
                 return new, jnp.mean(outs[2])
 
@@ -341,55 +309,14 @@ class DNeRFTrainer(GridNeRFTrainer):
 
     # ---- eval -------------------------------------------------------------
 
-    def render_frame(self, pose, intrinsics, H, W, chunk=2**14, params=None, time=0.0):
-        self.ensure_initialized()
-        params = params if params is not None else self.eval_params()
-        from ngp_tpu.data.raysampler import full_frame_rays_np
-
-        rays = full_frame_rays_np(pose, intrinsics, H, W)
-        ro, rd = rays["rays_o"], rays["rays_d"]
-        n = H * W
-        pad = (-n) % chunk
-        if pad:
-            ro = np.concatenate([ro, np.tile(ro[-1:], (pad, 1))])
-            rd = np.concatenate([rd, np.tile(rd[-1:], (pad, 1))])
-        # keyed by chunk + the eval dials render_batch reads at trace
-        # time (same staleness rule as NeRFTrainer._chunk_renderer)
-        key = ("dnerf", chunk) + self._eval_dial_key()
-        if key not in self._jit_render_chunks:
-            @jax.jit
-            def render_frame_fn(params, aux, ro_chunks, rd_chunks, time):
-                def one(args):
-                    ro, rd = args
-                    out = self.render_batch(
-                        params, ro, rd, bg_color=jnp.float32(1.0), aux=aux, time=time
-                    )
-                    return out["image"], out["depth"]
-
-                return jax.lax.map(one, (ro_chunks, rd_chunks))
-
-            self._jit_render_chunks[key] = render_frame_fn
-        img, dep = self._jit_render_chunks[key](
-            params, self.aux, jnp.asarray(ro.reshape(-1, chunk, 3)),
-            jnp.asarray(rd.reshape(-1, chunk, 3)), jnp.float32(time),
+    def render_frame(self, pose, intrinsics, H, W, chunk: int = 0,
+                     params=None, time=0.0):
+        """One frame at scene ``time`` through the SHARED staged frame
+        renderer (u8 transfer, index cache, bbox cull, prepass) — the
+        viewer's time scrub detects the ``time`` kwarg here."""
+        imgs, deps = self.render_frames(
+            np.asarray(pose, np.float32)[None], intrinsics, H, W,
+            chunk=chunk, params=params,
+            times=np.asarray([time], np.float32),
         )
-        image = np.asarray(img).reshape(-1, 3)[:n].reshape(H, W, 3)
-        depth = np.asarray(dep).reshape(-1)[:n].reshape(H, W)
-        return image, depth
-
-    def evaluate(self, dataset, max_frames=None):
-        from ngp_tpu.training.metrics import PSNRMeter
-
-        meter = PSNRMeter()
-        n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
-        for i in range(n):
-            img, _ = self.render_frame(
-                dataset.poses[i], dataset.intrinsics, dataset.H, dataset.W,
-                time=float(dataset.times[i]),
-            )
-            gt = dataset.images[i]
-            if gt.shape[-1] == 4:
-                gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
-            meter.update(img, gt)
-        self.log(f"evaluate: {meter.report()} over {n} frames")
-        return {"psnr": meter.measure()}
+        return imgs[0], deps[0]

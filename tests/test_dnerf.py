@@ -166,8 +166,80 @@ def test_dnerf_trainer_e2e_turbo(tmp_path):
         model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False
     )
     trainer.ensure_initialized()
+    # no-drop eval budget: at 150 steps the grid is still dense, and
+    # the scarce default water-fill budget (tuned for converged
+    # 800x800 scenes) would measure the budget policy, not the training
+    trainer.eval_mean_samples = None
     before = trainer.evaluate(train_ds, max_frames=1)["psnr"]
     trainer.train_on_dataset(train_ds, valid_ds=None, max_epochs=25)  # 150 steps
     after = trainer.evaluate(train_ds, max_frames=1)["psnr"]
     print(f"dnerf-turbo PSNR: {before:.2f} -> {after:.2f}")
     assert after > before + 4.0
+
+
+def test_dnerf_shared_eval_stack_parity(tmp_path):
+    """Round 4: D-NeRF evaluates through the SHARED staged frame
+    renderer (time as a traced argument — the reference's dnerf Trainer
+    inherits nerf/utils.py:316 the same way). Parity: render_frame via
+    the shared stack == a direct render_batch over the frame's rays at
+    the same time (up to the u8 transfer quantization), and two
+    different times give different frames (the time argument is live).
+    Also: evaluate() now reports SSIM for D-NeRF."""
+    from ngp_tpu.data.nerf_dataset import NeRFDataset
+    from ngp_tpu.data.raysampler import full_frame_rays_np
+    from ngp_tpu.data.synthetic import make_synthetic_dataset
+
+    root = str(tmp_path / "dsynth")
+    make_synthetic_dataset(
+        root, n_train=4, n_val=2, n_test=1, H=32, W=32, num_steps=128,
+        dynamic=True,
+    )
+    train_ds = NeRFDataset(root, split="train", scale=0.8)
+    net_cfg, render_cfg = _cfgs(
+        turbo=True, max_steps=64, max_samples_per_ray=16,
+        coarse_candidates=48, crossing_slots=16, compact_mean_samples=8,
+    )
+    train_cfg = TrainConfig(
+        iters=50, lr=1e-2, num_rays=512, workspace=str(tmp_path / "ws"),
+    )
+    model = DNeRFNetwork(
+        cfg=net_cfg, render=render_cfg, num_layers_deform=2,
+        hidden_dim_deform=16,
+    )
+    trainer = DNeRFTrainer(
+        model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False
+    )
+    trainer.ensure_initialized()
+    trainer.train_on_dataset(train_ds, valid_ds=None, max_epochs=8)
+
+    H = W = 32
+    pose = np.asarray(train_ds.poses[0], np.float32)
+    t0 = float(train_ds.times[0])
+    trainer.eval_mean_samples = None  # no-drop; isolate path parity
+    trainer.eval_prepass = False  # strict parity: same lattice phase
+    img, _ = trainer.render_frame(pose, train_ds.intrinsics, H, W, time=t0)
+
+    # direct reference: render_batch over the full frame's rays
+    rays = full_frame_rays_np(pose, train_ds.intrinsics, H, W)
+    out = trainer.render_batch(
+        trainer.eval_params(), jnp.asarray(rays["rays_o"]),
+        jnp.asarray(rays["rays_d"]), bg_color=jnp.float32(1.0),
+        aux=trainer.aux, time=jnp.float32(t0),
+    )
+    ref = np.asarray(out["image"], np.float32).reshape(H, W, 3)
+    # u8 transfer quantization = 1/255 per channel max
+    assert np.max(np.abs(img - ref)) <= (0.5 / 255) + 1e-3
+
+    img_t1, _ = trainer.render_frame(
+        pose, train_ds.intrinsics, H, W, time=float(train_ds.times[-1])
+    )
+    assert np.mean(np.abs(img_t1 - img)) > 1e-4  # time is live
+
+    # the time-sliced eval prepass culls without changing the frame
+    # beyond the per-ray lattice phase shift
+    trainer.eval_prepass = True
+    img_pp, _ = trainer.render_frame(pose, train_ds.intrinsics, H, W, time=t0)
+    assert float(np.mean((img_pp - img) ** 2)) < 1e-4
+
+    res = trainer.evaluate(train_ds, max_frames=2, with_ssim=True)
+    assert np.isfinite(res["psnr"]) and "ssim" in res
