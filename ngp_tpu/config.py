@@ -66,6 +66,15 @@ class RenderConfig:
     # background until the first grid refreshes sparsify it — the
     # per-step `turbo_overflow` metric reports the dropped fraction.
     compact_mean_samples: int = 16
+    # transmittance-proxy early-out (EVAL dial; None = off): candidates
+    # whose ESTIMATED transmittance — from the density grid's pooled
+    # max density accumulated along the ray — falls below this never
+    # reach the network. The TPU analog of the reference inference
+    # loop's exact per-ray early termination (raymarching.cu:700-914:
+    # dead rays stop paying for network evals); the proxy uses the max
+    # density of each 4^3 coarse block, which OVERestimates opacity, so
+    # set this well below the exact composite's t_thresh.
+    t_proxy_thresh: Optional[float] = None
     # world-space probe-lattice coverage (march t-span). None = the full
     # AABB chord 2*sqrt(3)*bound. A caller that KNOWS occupied space is
     # smaller (occupancy.occupied_aabb) can shrink it: the static probe

@@ -115,8 +115,10 @@ class OccupancyState:
     ``occ_grid`` maintained for the turbo march (march_rays_turbo):
     - coarse_payload [CAS*Hc, 128] f32: byte values (0-255) of the
       max-pooled Hc^3 occupancy, consumed by a one-hot MXU matmul.
-    - fine_payload [CAS*Hc^3, 2] u32: per coarse cell, the 64 occupancy
-      bits of its 4^3 fine sub-cells.
+    - fine_payload [CAS*Hc^3, 4] u32: per coarse cell, the 64 occupancy
+      bits of its 4^3 fine sub-cells (words 0-1), the f32 bit pattern
+      of the cell's max density (word 2 — the eval march's
+      transmittance proxy), and a pad word.
     """
 
     density_grid: jnp.ndarray  # [CAS, H, H, H] f32; -1 = untrained
@@ -126,7 +128,7 @@ class OccupancyState:
     # payloads are optional (None): only the turbo march needs them;
     # update_occupancy always returns them freshly packed
     coarse_payload: Optional[jnp.ndarray] = None  # [CAS*Hc, 128] f32
-    fine_payload: Optional[jnp.ndarray] = None  # [CAS*Hc^3, 2] u32
+    fine_payload: Optional[jnp.ndarray] = None  # [CAS*Hc^3, 4] u32
     # 3^3-dilated coarse occupancy, byte-packed like coarse_payload —
     # consumed by the eval-cull ray prepass (ray_prepass); the
     # dilation makes a sparse probe lattice conservatively safe
@@ -136,12 +138,18 @@ class OccupancyState:
 COARSE_FACTOR = 4  # fine cells per coarse cell per axis
 
 
-def pack_occupancy_payloads(occ_grid: jnp.ndarray):
+def pack_occupancy_payloads(occ_grid: jnp.ndarray, density_grid=None):
     """occ_grid [CAS, H, H, H] bool -> (coarse_payload, fine_payload).
 
     Dense bit-twiddling, no scatter; runs inside the jitted grid
     refresh (the reference's packbits step, raymarching.cu:268-300,
     restructured for matmul/crossing lookups instead of byte gathers).
+
+    ``density_grid`` (optional, [CAS, H, H, H] f32): when given, each
+    fine-payload row also carries the f32 bit pattern of its coarse
+    cell's MAX density — the eval march's transmittance proxy
+    (march_rays_turbo t_proxy culling). Rows are [4] u32 either way;
+    without a density grid the proxy word is 0 (= proxy disabled).
     """
     cas, H = occ_grid.shape[0], occ_grid.shape[1]
     F = COARSE_FACTOR
@@ -154,7 +162,17 @@ def pack_occupancy_payloads(occ_grid: jnp.ndarray):
     shifts = jnp.arange(32, dtype=jnp.uint32)
     w0 = jnp.sum(bits[:, :32] << shifts[None, :], axis=1, dtype=jnp.uint32)
     w1 = jnp.sum(bits[:, 32:] << shifts[None, :], axis=1, dtype=jnp.uint32)
-    fine_payload = jnp.stack([w0, w1], axis=1)
+    if density_grid is None:
+        w2 = jnp.zeros_like(w0)
+    else:
+        dmax = jnp.max(
+            jnp.maximum(density_grid, 0.0).reshape(
+                cas, Hc, F, Hc, F, Hc, F
+            ).transpose(0, 1, 3, 5, 2, 4, 6).reshape(cas * Hc**3, F**3),
+            axis=1,
+        )
+        w2 = jax.lax.bitcast_convert_type(dmax, jnp.uint32)
+    fine_payload = jnp.stack([w0, w1, w2, jnp.zeros_like(w0)], axis=1)
     # coarse: any fine bit set; packed 8 cells/byte (z fastest), bytes
     # laid out [rows, 128] for the one-hot matmul lookup
     coarse = jnp.any(blocks, axis=1)  # [CAS*Hc^3], z fastest
@@ -838,7 +856,7 @@ def march_rays_turbo(
     )  # [N, U] first coarse cell per slot (-1 unused)
     pay = jnp.take(
         state.fine_payload, jnp.maximum(slot_cell, 0).reshape(-1), axis=0
-    ).reshape(N, U, 2)
+    ).reshape(N, U, -1)
     # split the two u32 payload words into 8 bytes (exact in bf16) and
     # route them to candidates with a one-hot einsum over slots — a
     # take_along_axis here costs ~18 ms, the einsum < 1 ms
@@ -857,6 +875,31 @@ def march_rays_turbo(
     byte_val = jnp.sum(bytes_k * oh_byte, axis=-1).astype(jnp.int32)  # [N, K2]
     fine_ok = ((byte_val >> (bit6 & 7)) & 1) > 0
     valid_f = fine_ok & cmask & in_budget
+
+    if cfg.t_proxy_thresh is not None and state.fine_payload.shape[1] >= 3:
+        # transmittance-proxy early-out: accumulate estimated optical
+        # depth from each crossing's pooled MAX density (payload word
+        # 2) along the t-ordered candidates; candidates behind an
+        # estimated-opaque prefix never become samples — the network
+        # stops paying for occluded space, which is the reference
+        # inference loop's early termination (raymarching.cu:834-850)
+        # expressed as a mask. CAVEAT (measured, 800x800 hard scene):
+        # the 4^3 max-pool makes GRAZING rays — passing near but not
+        # through a surface — accumulate phantom optical depth, and
+        # real content behind them gets culled (PSNR 35 -> 15 at
+        # thresh 1e-2). Kept default-off; the per-fine-cell density
+        # payload variant replaces this.
+        dens = jax.lax.bitcast_convert_type(pay[..., 2], jnp.float32)
+        dens_k = jnp.einsum(
+            "nku,nu->nk", oh_slot.astype(jnp.float32), dens,
+            preferred_element_type=jnp.float32,
+        )  # [N, K2] per-candidate coarse max density
+        contrib = jnp.where(
+            valid_f, dens_k * cfg.density_scale * dts2, 0.0
+        )
+        cum = jnp.cumsum(contrib, axis=1) - contrib  # exclusive prefix
+        alive = cum < -math.log(cfg.t_proxy_thresh)
+        valid_f = valid_f & alive
 
     # final per-ray compaction to S samples, again t-bits keys
     key2 = jnp.where(valid_f, tbits2, tbits2 + _TKEY_INVALID)
@@ -1288,7 +1331,7 @@ def update_occupancy(
     mean_density = jnp.mean(jnp.maximum(new_grid, 0.0))
     thresh = jnp.minimum(mean_density, cfg.density_thresh)
     occ = new_grid > thresh
-    coarse_payload, fine_payload = pack_occupancy_payloads(occ)
+    coarse_payload, fine_payload = pack_occupancy_payloads(occ, new_grid)
     return OccupancyState(
         density_grid=new_grid,
         occ_grid=occ,

@@ -110,6 +110,12 @@ class NeRFTrainer(Trainer):
         # device-resident (inds, fids) buffers for no-cull frame
         # renders, keyed (F, H*W, C, chunk) — see render_frames
         self._device_inds_cache = {}
+        # jitted slicers for the prepass's device-side chunk lists
+        self._jit_slice_chunks = {}
+        # f32 (unquantized) eval frame transfer: the default u8 path
+        # caps per-frame PSNR at ~59 dB (BASELINE.md deviation note);
+        # flip on for reference-parity metric runs
+        self.eval_f32_frames = False
 
     # ---- state -----------------------------------------------------------
 
@@ -344,7 +350,9 @@ class NeRFTrainer(Trainer):
             getattr(self, "eval_probe_stride", 1),
             getattr(self, "eval_coarse_candidates", None),
             getattr(self, "eval_crossing_slots", None),
+            getattr(self, "eval_t_proxy", None),
             getattr(self, "_eval_lattice_span", None),
+            getattr(self, "eval_f32_frames", False),
         )
 
     def _chunk_renderer(self, chunk: int, H: int, W: int,
@@ -405,7 +413,17 @@ class NeRFTrainer(Trainer):
                     # through the remote-TPU tunnel): u8 for the image —
                     # on [0,1] its uniform step (err^2 ~1.3e-6) beats
                     # bf16's relative step and it's 4x smaller than f32
-                    # — bf16 for unbounded depth
+                    # — bf16 for unbounded depth. eval_f32_frames=True
+                    # disables the quantization (caps PSNR at ~59 dB
+                    # otherwise) for reference-parity metric runs at 4x
+                    # the transfer cost.
+                    if getattr(self, "eval_f32_frames", False):
+                        return (
+                            jnp.clip(out["image"], 0.0, 1.0).astype(
+                                jnp.float32
+                            ),
+                            out["depth"].astype(jnp.float32),
+                        )
                     img8 = jnp.round(jnp.clip(out["image"], 0.0, 1.0) * 255.0)
                     return (
                         img8.astype(jnp.uint8),
@@ -502,8 +520,8 @@ class NeRFTrainer(Trainer):
         if run_pre is not None:
             pre = run_pre(poses, intrinsics, H, W, aabb_eff, times=times)
         if pre is not None:
-            hit_np, t0_dev, t1_dev, ray_span = pre
-            self._set_eval_lattice_span_value(ray_span)
+            t0_dev, t1_dev = pre["t0"], pre["t1"]
+            self._set_eval_lattice_span_value(pre["span"])
         n = H * W
         # shuffle rays across the frame so each chunk sees the
         # FRAME-AVERAGE occupancy: coherent pixel blocks alternate
@@ -513,34 +531,61 @@ class NeRFTrainer(Trainer):
         # fraction of the worst case — the TPU-shaped equivalent of the
         # reference's alive-ray compaction (raymarching.cu:700-914)
         perm = self._frame_perm(n)
-        sels, fids = [], []
-        for f in range(F):
-            sel = perm
-            if pre is not None:
-                sel = sel[hit_np[f, sel]]
-            # pixel-bbox cull: rays outside the projected AABB composite
-            # to pure background and never reach the device (the
-            # reference culls per-step with alive compaction; at frame
-            # granularity this is the same work-avoidance). Disabled
-            # when a background net must render on misses.
-            if self.render_cfg.bg_radius <= 0:
-                bbox = self._project_aabb_bbox(
-                    poses[f], intrinsics, H, W, aabb_eff
-                )
-                if bbox is not None:
-                    r0, r1, c0, c1 = bbox
-                    rows, cols = sel // W, sel % W
-                    keep = (rows >= r0) & (rows <= r1) & (cols >= c0) & (cols <= c1)
-                    sel = sel[keep]
-            sels.append(sel)
-            fids.append(np.full(sel.size, f, np.int32))
-        sel_cat = np.concatenate(sels)
-        fid_cat = np.concatenate(fids)
         images = np.ones((F, n, 3), np.float32)  # bg_color = 1.0 (below)
         depths = np.zeros((F, n), np.float32)
         img = dep = None
-        m = sel_cat.size
-        if m:
+        device_inds = None
+        sel_cat = fid_cat = None
+        if pre is not None and "sorted_inds" in pre:
+            # fully device-side chunk path (single-frame groups): the
+            # prepass already holds the hit-sorted permutation on
+            # device, so no index upload and no hit-mask download — the
+            # only host<->device traffic between the two rounds is the
+            # prepass's 8-byte (count, span) fetch. The prefix of
+            # sorted_inds is exactly the hit rays in frame-shuffle
+            # order; clip-padded tail rays are non-hit pixels that
+            # render to exact background (their t-range is empty).
+            C = max(1, -(-pre["count"] // chunk))
+            C = 1 << (C - 1).bit_length() if C <= 8 else -(-C // 16) * 16
+            C = min(C, max(1, -(-n // chunk)))
+            # sticky-max chunk count: per-pose hit-count jitter (C 80
+            # vs 96 on adjacent poses, measured) would retrace the
+            # renderer mid-eval at 15-18 s; padding the smaller frames
+            # up to the largest C seen costs <=20% duplicated rays and
+            # zero retraces
+            ckey = ("dev_C", H, W, chunk)
+            C = max(C, self._device_inds_cache.get(ckey, 0))
+            self._device_inds_cache[ckey] = C
+            di, df = self._sorted_chunk_slices(pre["sorted_inds"], C, chunk)
+            device_inds = di
+            m = C * chunk
+        else:
+            sels, fids = [], []
+            for f in range(F):
+                sel = perm
+                if pre is not None:
+                    sel = sel[pre["hit"][f, sel]]
+                # pixel-bbox cull: rays outside the projected AABB
+                # composite to pure background and never reach the
+                # device (the reference culls per-step with alive
+                # compaction; at frame granularity this is the same
+                # work-avoidance). Disabled when a background net must
+                # render on misses.
+                if self.render_cfg.bg_radius <= 0:
+                    bbox = self._project_aabb_bbox(
+                        poses[f], intrinsics, H, W, aabb_eff
+                    )
+                    if bbox is not None:
+                        r0, r1, c0, c1 = bbox
+                        rows, cols = sel // W, sel % W
+                        keep = (rows >= r0) & (rows <= r1) & (cols >= c0) & (cols <= c1)
+                        sel = sel[keep]
+                sels.append(sel)
+                fids.append(np.full(sel.size, f, np.int32))
+            sel_cat = np.concatenate(sels)
+            fid_cat = np.concatenate(fids)
+            m = sel_cat.size
+        if m and device_inds is None:
             # bucket the chunk COUNT (pow2 up to 8, then multiples of
             # 8): the jitted lax.map renderer compiles per count, so
             # buckets bound recompiles while padding <= ~15%
@@ -569,6 +614,7 @@ class NeRFTrainer(Trainer):
                 df = jnp.asarray(fpad.reshape(C, chunk).astype(np.int32))
                 if no_cull:
                     self._device_inds_cache[cache_key] = (di, df)
+        if m:
             render = self._chunk_renderer(
                 chunk, H, W, with_t_range=pre is not None
             )
@@ -591,19 +637,49 @@ class NeRFTrainer(Trainer):
             )
         def finalize():
             if img is not None:
-                images[fid_cat, sel_cat] = (
-                    np.asarray(img).reshape(-1, 3)[:m].astype(np.float32) / 255.0
+                arr = np.asarray(img).reshape(-1, 3)
+                imgf = (
+                    arr.astype(np.float32) / 255.0
+                    if arr.dtype == np.uint8 else arr.astype(np.float32)
                 )
-                if want_depth:  # skip the depth transfer when unused
-                    depths[fid_cat, sel_cat] = (
-                        np.asarray(dep).astype(np.float32).reshape(-1)[:m]
-                    )
+                if device_inds is not None:
+                    # device-side path: the chunk indices come DOWN with
+                    # the result (4 B/ray; duplicates from clip padding
+                    # overwrite with identical values)
+                    inds_np = np.asarray(device_inds).reshape(-1)
+                    images[0, inds_np] = imgf
+                    if want_depth:
+                        depths[0, inds_np] = (
+                            np.asarray(dep).astype(np.float32).reshape(-1)
+                        )
+                else:
+                    images[fid_cat, sel_cat] = imgf[:m]
+                    if want_depth:  # skip the depth transfer when unused
+                        depths[fid_cat, sel_cat] = (
+                            np.asarray(dep).astype(np.float32).reshape(-1)[:m]
+                        )
             return images.reshape(F, H, W, 3), depths.reshape(F, H, W)
 
         # device handles exposed for callers that need to await device
         # completion WITHOUT the host transfer (benchmark scripts)
         finalize.device_arrays = (img, dep)
         return finalize if async_result else finalize()
+
+    def _sorted_chunk_slices(self, sorted_inds, C: int, chunk: int):
+        """Slice the device-resident hit-sorted index buffer into
+        [C, chunk] renderer chunks (+ zero frame ids) without any
+        host round trip; clip-mode take handles C*chunk > n."""
+        key = (C, chunk)
+        if key not in self._jit_slice_chunks:
+            @jax.jit
+            def slice_fn(s):
+                di = jnp.take(
+                    s, jnp.arange(C * chunk, dtype=jnp.int32), mode="clip"
+                ).reshape(C, chunk)
+                return di, jnp.zeros((C, chunk), jnp.int32)
+
+            self._jit_slice_chunks[key] = slice_fn
+        return self._jit_slice_chunks[key](sorted_inds)
 
     def _project_aabb_bbox(self, pose, intrinsics, H: int, W: int, aabb=None):
         """Conservative pixel bbox of the scene AABB: project its 8

@@ -68,6 +68,12 @@ class GridNeRFTrainer(NeRFTrainer):
         # n_dropped counter if a denser scene ever needs it raised.
         self.eval_coarse_candidates: Optional[int] = 64
         self.eval_crossing_slots: Optional[int] = None
+        # eval-only transmittance-proxy early-out (RenderConfig
+        # t_proxy_thresh): march candidates whose grid-estimated
+        # transmittance is below this never reach the network — the
+        # reference inference loop's dead-ray early termination
+        # (raymarching.cu:834-850). None = off.
+        self.eval_t_proxy: Optional[float] = None
         # tight eval marching: clip per-ray [near, far] to the occupied
         # region's AABB and shrink the static probe lattice to its
         # diameter (occupancy.occupied_aabb + cfg.lattice_span). Every
@@ -127,6 +133,8 @@ class GridNeRFTrainer(NeRFTrainer):
                 over["coarse_candidates"] = int(self.eval_coarse_candidates)
             if self.eval_crossing_slots is not None:
                 over["crossing_slots"] = int(self.eval_crossing_slots)
+            if self.eval_t_proxy is not None:
+                over["t_proxy_thresh"] = float(self.eval_t_proxy)
             if self._eval_lattice_span is not None and cfg.turbo:
                 over["lattice_span"] = float(self._eval_lattice_span)
             if over:
@@ -204,11 +212,22 @@ class GridNeRFTrainer(NeRFTrainer):
         """Like :meth:`_set_eval_lattice_span` but from a measured
         per-ray span scalar (the prepass's longest [t0, t1] interval) —
         finer 1/16-chord buckets, since the per-ray span is usually
-        much shorter than the occupied box's diameter."""
+        much shorter than the occupied box's diameter.
+
+        STICKY-MAX: the bucket only ever grows. Per-pose span jitter
+        (1.50 vs 1.62 on adjacent validation poses, measured) would
+        otherwise flip the bucket and retrace the cached renderer
+        mid-eval at 15-18 s per retrace; a larger span is always
+        conservative (probes outside the true interval produce no
+        samples), so keeping the max seen trades <=1 lattice probe of
+        slack for zero retraces."""
         cfg = self.render_cfg
         chord = 2.0 * SQRT3 * cfg.bound
         q = chord / 16.0
         bucket = min(math.ceil(max(float(span), q) / q) * q, chord)
+        prev = getattr(self, "_span_sticky", 0.0)
+        bucket = max(bucket, prev)
+        self._span_sticky = bucket
         self._eval_lattice_span = None if bucket >= chord else bucket
 
     def _prepass_occ(self, aux, tval):
@@ -218,9 +237,18 @@ class GridNeRFTrainer(NeRFTrainer):
 
     def _run_eval_prepass(self, poses, intrinsics, H: int, W: int, aabb_eff,
                           times=None):
-        """Frame-level eval cull (see occupancy.ray_prepass): returns
-        (hit [F, H*W] bool numpy, t0_flat, t1_flat device arrays,
-        max hit span float) or None when the prepass doesn't apply."""
+        """Frame-level eval cull (see occupancy.ray_prepass): returns a
+        dict or None when the prepass doesn't apply.
+
+        Keys: "t0"/"t1" (flat per-(frame, pixel) device arrays),
+        "span" (longest hit interval, float). Single-frame calls
+        (F == 1, the default group) additionally get the fully
+        DEVICE-SIDE chunk-index form — "sorted_inds" ([n] i32 device:
+        the frame permutation stably sorted hit-first, so its prefix is
+        exactly the culled chunk list; built on device because
+        uploading host-culled indices measured 70-170 ms/frame through
+        the tunnel) and "count" (number of hit rays) — while F > 1
+        callers get "hit" ([F, n] bool numpy) for the host-side path."""
         cfg = self.render_cfg
         if not (self.eval_prepass and cfg.turbo):
             return None
@@ -260,13 +288,19 @@ class GridNeRFTrainer(NeRFTrainer):
         # render_frames (the per-ray spans it produces then shrink the
         # MAIN march's bucket below it)
         span = self._eval_lattice_span
-        pkey = (Cp, chunk, H, W, span)
+        pkey = (Cp, chunk, H, W, span, F == 1)
+        perm_key = ("dev_perm", n)
+        if perm_key not in self._prepass_inds_cache:
+            self._prepass_inds_cache[perm_key] = jnp.asarray(
+                self._frame_perm(n).astype(np.int32)
+            )
+        perm_dev = self._prepass_inds_cache[perm_key]
         if pkey not in self._jit_prepass:
             pcfg = dataclasses.replace(cfg, lattice_span=span)
 
             @jax.jit
             def prepass_fn(aux, poses_d, intr, inds_chunks, fids_chunks, aabb,
-                           tval):
+                           tval, perm):
                 occ_s = self._prepass_occ(aux, tval)
 
                 def one(args):
@@ -286,19 +320,44 @@ class GridNeRFTrainer(NeRFTrainer):
                 hits, t0s, spans = jax.lax.map(
                     one, (inds_chunks, fids_chunks)
                 )
-                return hits, t0s, t0s + spans, jnp.max(spans)
+                if F == 1:
+                    # device-side chunk list: permutation stably sorted
+                    # hit-first (prefix = exactly the hit rays, in the
+                    # frame-shuffle order the budget sharing relies on)
+                    hit_flat = hits.reshape(-1)[:n]
+                    key = (~hit_flat[perm]).astype(jnp.int32)
+                    _, sorted_inds = jax.lax.sort(
+                        (key, perm), num_keys=1, is_stable=True
+                    )
+                    count = jnp.sum(hit_flat.astype(jnp.int32))
+                    meta = jnp.stack(
+                        [count.astype(jnp.float32), jnp.max(spans)]
+                    )
+                    return hits, t0s, t0s + spans, meta, sorted_inds
+                meta = jnp.stack([jnp.float32(0.0), jnp.max(spans)])
+                return hits, t0s, t0s + spans, meta, perm
 
             self._jit_prepass[pkey] = prepass_fn
         t0v = 0.0 if times is None else float(np.asarray(times).reshape(-1)[0])
-        hits, t0s, t1s, max_span = self._jit_prepass[pkey](
+        hits, t0s, t1s, meta, sorted_inds = self._jit_prepass[pkey](
             self.aux,
             jnp.asarray(np.asarray(poses, np.float32)),
             jnp.asarray(np.asarray(intrinsics, np.float32)),
             di, df, jnp.asarray(aabb_eff, jnp.float32),
-            jnp.float32(t0v),
+            jnp.float32(t0v), perm_dev,
         )
-        hit_np = np.asarray(hits).reshape(-1)[: F * n].reshape(F, n)
-        return hit_np, t0s.reshape(-1), t1s.reshape(-1), float(max_span)
+        meta_np = np.asarray(meta)  # ONE 8-byte sync between the rounds
+        out = {
+            "t0": t0s.reshape(-1),
+            "t1": t1s.reshape(-1),
+            "span": float(meta_np[1]),
+        }
+        if F == 1:
+            out["sorted_inds"] = sorted_inds
+            out["count"] = int(meta_np[0])
+        else:
+            out["hit"] = np.asarray(hits).reshape(-1)[: F * n].reshape(F, n)
+        return out
 
     # ---- occupancy maintenance -------------------------------------------
 

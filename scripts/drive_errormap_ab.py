@@ -103,6 +103,8 @@ def main():
     for name in which:
         if name == "base":
             run_one("base", 16384, False, steps, every, H)
+        elif name == "base4096":
+            run_one("base4096", 4096, False, steps, every, H)
         elif name == "em":
             run_one("em", 16384, True, steps, every, H)
         elif name == "em4096":

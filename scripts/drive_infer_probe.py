@@ -64,8 +64,14 @@ def main():
     ems = os.environ.get("NGP_EMS", "8")
     trainer.eval_mean_samples = None if ems == "-" else int(ems)
     trainer.eval_coarse_candidates = 64
+    tp = os.environ.get("NGP_TPROXY", "")
+    trainer.eval_t_proxy = float(tp) if tp else None
     intr = val_ds.intrinsics
     n = H * H
+
+    gt = np.asarray(val_ds.images[0], np.float32)
+    if gt.shape[-1] == 4:
+        gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
 
     def probe(pose):
         t = {}
@@ -81,46 +87,36 @@ def main():
         box_span = trainer._eval_lattice_span
         pre = trainer._run_eval_prepass(poses, intr, H, H, aabb_eff)
         t["prepass"] = time.perf_counter() - t0
-        hit_np, t0d, t1d, ray_span = pre
-        trainer._set_eval_lattice_span_value(ray_span)
+        trainer._set_eval_lattice_span_value(pre["span"])
         t1 = time.perf_counter()
-        perm = trainer._frame_perm(n)
-        sel = perm[hit_np[0, perm]]
-        bbox = trainer._project_aabb_bbox(poses[0], intr, H, H, aabb_eff)
-        if bbox is not None:
-            r0, r1, c0, c1 = bbox
-            rows, cols = sel // H, sel % H
-            keep = (rows >= r0) & (rows <= r1) & (cols >= c0) & (cols <= c1)
-            sel = sel[keep]
-        m_ = sel.size
-        C = max(1, -(-m_ // chunk))
-        C = 1 << (C - 1).bit_length() if C <= 8 else -(-C // 8) * 8
-        pad = C * chunk - m_
-        inds = np.concatenate([sel, np.full(pad, sel[-1])]) if pad else sel
-        fpad = np.zeros_like(inds)
-        t["selbuild"] = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        di = jnp.asarray(inds.reshape(C, chunk).astype(np.int32))
-        df = jnp.asarray(fpad.reshape(C, chunk).astype(np.int32))
-        jax.block_until_ready(di)
-        t["upload"] = time.perf_counter() - t2
+        C = max(1, -(-pre["count"] // chunk))
+        C = 1 << (C - 1).bit_length() if C <= 8 else -(-C // 16) * 16
+        C = min(C, max(1, -(-n // chunk)))
+        ckey = ("dev_C", H, H, chunk)  # sticky-max, as render_frames
+        C = max(C, trainer._device_inds_cache.get(ckey, 0))
+        trainer._device_inds_cache[ckey] = C
+        di, df = trainer._sorted_chunk_slices(pre["sorted_inds"], C, chunk)
+        t["slice"] = time.perf_counter() - t1
         t3 = time.perf_counter()
         render = trainer._chunk_renderer(chunk, H, H, with_t_range=True)
         img, dep = render(
             trainer.eval_params(), trainer.aux, jnp.asarray(poses),
             jnp.asarray(np.asarray(intr, np.float32)), di, df,
-            jnp.asarray(aabb_eff), t0d, t1d, jnp.zeros((1,), jnp.float32),
+            jnp.asarray(aabb_eff), pre["t0"], pre["t1"],
+            jnp.zeros((1,), jnp.float32),
         )
         jax.block_until_ready(img)
         t["render"] = time.perf_counter() - t3
         t["total"] = time.perf_counter() - t0
-        info = dict(hit=float(hit_np.mean()), m=m_, C=C,
-                    box_span=box_span, ray_span=float(ray_span),
-                    bucket=trainer._eval_lattice_span)
+        info = dict(count=pre["count"], C=C, box_span=box_span,
+                    ray_span=pre["span"], bucket=trainer._eval_lattice_span)
         return t, info
 
     t, info = probe(val_ds.poses[0])  # compile
-    print("compiled:", info, flush=True)
+    img0, _ = trainer.render_frame(val_ds.poses[0], intr, H, H, chunk=chunk)
+    mse = float(np.mean((np.asarray(img0, np.float64) - gt) ** 2))
+    print(f"compiled: PSNR {10*np.log10(1/max(mse,1e-12)):.2f}", info,
+          flush=True)
     for i in range(5):
         t, info = probe(val_ds.poses[1 + i % 7])
         print({k: round(v * 1000) for k, v in t.items()}, info, flush=True)

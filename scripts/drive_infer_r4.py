@@ -85,22 +85,26 @@ def main():
     intr = val_ds.intrinsics
 
     configs = [
-        # name, ems, max_samples, stride, coarse_candidates, prepass
-        ("r3-ems4", 4, 16, 1, 64, 0),
-        ("pre-ems4", 4, 16, 1, 64, 1),
-        ("pre-ems6", 6, None, 1, 64, 1),
-        ("pre-ems8", 8, None, 1, 64, 1),
-        ("pre-nodrop", None, None, 1, 64, 1),
+        # name, ems, max_samples, stride, coarse_candidates, prepass,
+        # t_proxy (transmittance-proxy early-out threshold, None = off)
+        ("pre-ems6", 6, None, 1, 64, 1, None),
+        ("tp1e2-ems6", 6, None, 1, 64, 1, 1e-2),
+        ("tp1e3-ems6", 6, None, 1, 64, 1, 1e-3),
+        ("tp1e3-nodrop", None, None, 1, 64, 1, 1e-3),
+        ("pre-nodrop", None, None, 1, 64, 1, None),
     ]
     spec = os.environ.get("NGP_CONFIGS", "")
     if spec:
         configs = []
         for part in spec.split(";"):
-            nm, ems, mx, st, cc, pp = part.split(":")
+            fields = part.split(":")
+            nm, ems, mx, st, cc, pp = fields[:6]
+            tp = fields[6] if len(fields) > 6 else "-"
             configs.append((
                 nm, int(ems) if ems != "-" else None,
                 int(mx) if mx != "-" else None, int(st),
                 int(cc) if cc != "-" else None, int(pp),
+                float(tp) if tp != "-" else None,
             ))
 
     def render_once(pose):
@@ -121,12 +125,13 @@ def main():
         wall = time.perf_counter() - t_all
         return img, wall, dev
 
-    for name, ems, mx, st, cc, pp in configs:
+    for name, ems, mx, st, cc, pp, tp in configs:
         trainer.eval_mean_samples = ems
         trainer.eval_max_samples = mx
         trainer.eval_probe_stride = st
         trainer.eval_coarse_candidates = cc
         trainer.eval_prepass = bool(pp)
+        trainer.eval_t_proxy = tp
         trainer._jit_render_chunks = {}
         t0 = time.perf_counter()
         img, _, _ = render_once(val_ds.poses[0])  # compile

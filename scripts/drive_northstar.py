@@ -106,6 +106,14 @@ def main():
             el = time.perf_counter() - t_start
             print(f"step {done}: loss {float(m['loss']):.5f} ({el:.0f}s)",
                   flush=True)
+            every = int(os.environ.get("NGP_EVAL_EVERY", "0"))
+            if every and done % every == 0 and (not max_steps or done < max_steps):
+                r = trainer.evaluate(val_ds, max_frames=2)
+                if use_error_map:
+                    em = np.asarray(trainer.aux["error_map"])
+                    print(f"  em max {em.max():.2e} p99 "
+                          f"{np.percentile(em, 99):.2e}", flush=True)
+                print(f"  eval@{done}: psnr {r['psnr']:.2f}", flush=True)
             if max_steps and done >= max_steps:
                 break
             if not max_steps and el >= seconds:

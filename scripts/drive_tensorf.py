@@ -6,7 +6,9 @@ the turbo march (model-agnostic flagship path).
 Reference baseline: 51 train it/s x 4096 rays ~= 0.21 M rays/s on V100
 (readme.md:218).
 
-Env knobs: NGP_MARCH=turbo|v1, NGP_STEPS, NGP_RAYS, NGP_RES1.
+Env knobs: NGP_MARCH=turbo|v1, NGP_STEPS, NGP_RAYS, NGP_RES1,
+NGP_CP=1 (CP decomposition instead of VM), NGP_VARIANT=hard (textured
+quality scene, 24 views), NGP_EVAL_FRAMES (eval split size).
 """
 import os
 import sys
@@ -22,17 +24,24 @@ def main():
     from ngp_tpu.config import RenderConfig, TrainConfig
     from ngp_tpu.data.nerf_dataset import NeRFDataset
     from ngp_tpu.data.synthetic import make_synthetic_dataset
-    from ngp_tpu.models.tensorf import TensoRFNetwork
+    from ngp_tpu.models.tensorf import TensoRFCPNetwork, TensoRFNetwork
     from ngp_tpu.training.tensorf import TensoRFTrainer
 
     march = os.environ.get("NGP_MARCH", "turbo")
+    use_cp = os.environ.get("NGP_CP", "0") == "1"
     n_steps = int(os.environ.get("NGP_STEPS", "1500"))
     n_rays = int(os.environ.get("NGP_RAYS", "4096"))
     res1 = int(os.environ.get("NGP_RES1", "300"))
+    variant = os.environ.get("NGP_VARIANT", "default")
     H = 400
 
-    cache = f"/root/.ngp_drive_default_{H}_16"
-    make_synthetic_dataset(cache, n_train=16, n_val=1, n_test=1, H=H, W=H)
+    if variant == "hard":
+        cache = f"/root/.ngp_emab_hard_{H}"
+        make_synthetic_dataset(cache, n_train=24, n_val=4, n_test=1,
+                               H=H, W=H, variant="hard")
+    else:
+        cache = f"/root/.ngp_drive_default_{H}_16"
+        make_synthetic_dataset(cache, n_train=16, n_val=1, n_test=1, H=H, W=H)
     train_ds = NeRFDataset(cache, split="train", scale=0.8)
     val_ds = NeRFDataset(cache, split="val", scale=0.8)
 
@@ -49,7 +58,10 @@ def main():
         iters=30000, lr=2e-2, num_rays=n_rays, workspace="/tmp/tsf_ws",
         update_extra_interval=16,
     )
-    model = TensoRFNetwork(resolution=(128, 128, 128))
+    if use_cp:
+        model = TensoRFCPNetwork(resolution=(128, 128, 128))
+    else:
+        model = TensoRFNetwork(resolution=(128, 128, 128))
     trainer = TensoRFTrainer(
         model, render_cfg, train_cfg, lr_net=1e-3,
         upsample_model_steps=[500],  # jump straight to the final res
@@ -84,14 +96,41 @@ def main():
     jax.block_until_ready(trainer.state.params)
     dt = time.perf_counter() - window_t0
     sps = 256 / dt
+    kind = ("cp" if use_cp else "vm") + f"-{march}"
     print(
-        f"{march}: steady-state {sps:.1f} steps/s = "
+        f"{kind}: steady-state {sps:.1f} steps/s = "
         f"{sps*n_rays:,.0f} rays/s (vs TensoRF-V100 baseline "
         f"{sps*n_rays/208896:.2f}) at res {trainer.current_resolution}",
         flush=True,
     )
-    res = trainer.evaluate(val_ds)
-    print("eval:", res, flush=True)
+    n_eval = int(os.environ.get("NGP_EVAL_FRAMES", str(len(val_ds))))
+    res = trainer.evaluate(val_ds, max_frames=n_eval, with_ssim=True)
+    print(f"eval[{kind}]:", res, flush=True)
+    # test-render speed (reference 2.8 it/s = 357 ms/frame on V100,
+    # readme.md:218): median wall + device time over varied poses
+    trainer.eval_mean_samples = 4
+    walls, devs = [], []
+    trainer.render_frames(
+        np.asarray(val_ds.poses[0], np.float32)[None], val_ds.intrinsics,
+        val_ds.H, val_ds.W, want_depth=False,
+    )  # compile
+    for i in range(5):
+        p = np.asarray(val_ds.poses[i % len(val_ds)], np.float32)[None]
+        t0 = time.perf_counter()
+        fin = trainer.render_frames(
+            p, val_ds.intrinsics, val_ds.H, val_ds.W,
+            want_depth=False, async_result=True,
+        )
+        if fin.device_arrays[0] is not None:
+            jax.block_until_ready(fin.device_arrays[0])
+        devs.append(time.perf_counter() - t0)
+        fin()
+        walls.append(time.perf_counter() - t0)
+    print(
+        f"test[{kind}] {val_ds.W}x{val_ds.H}: device "
+        f"{float(np.median(devs))*1000:.0f} ms/frame, wall "
+        f"{float(np.median(walls))*1000:.0f} ms", flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -162,3 +162,101 @@ def test_trainer_prepass_frame_parity():
     # extremely close, and culled rays are exactly background
     mse = float(np.mean((img_on - img_off) ** 2))
     assert mse < 1e-4, mse
+
+
+def test_t_proxy_culling():
+    """Transmittance-proxy early-out (march_rays_turbo via
+    cfg.t_proxy_thresh): candidates behind an estimated-opaque prefix
+    are culled. With the proxy effectively disabled (threshold ~0) the
+    march is bit-identical; with a realistic threshold on an opaque
+    slab the per-ray sample count drops and the composited image
+    changes by at most ~thresh (the culled samples' true weights are
+    bounded by the estimated transmittance when the grid density is
+    exact, as here)."""
+    import dataclasses
+
+    from ngp_tpu.models.occupancy import composite_rays
+
+    cfg = _cfg(bound=1.0, max_steps=64, max_samples_per_ray=32,
+               grid_size=16)
+    SIGMA = 60.0  # opaque: T crosses 1e-4 after ~0.15 world units
+    state = init_occupancy(cfg)
+    occ = np.zeros((1, 16, 16, 16), bool)
+    occ[0, :, :, 6:14] = True  # thick z-slab
+    dens = np.where(occ, SIGMA, 0.0).astype(np.float32)
+    occ_j = jnp.asarray(occ)
+    dens_j = jnp.asarray(dens)
+    cp, fp = pack_occupancy_payloads(occ_j, dens_j)
+    state = state.replace(
+        occ_grid=occ_j, coarse_payload=cp, fine_payload=fp,
+        density_grid=dens_j, prepass_payload=pack_prepass_payload(occ_j),
+    )
+    ro, rd = _rays(n=64, seed=5)
+
+    m_off = march_rays_turbo(ro, rd, state, cfg)
+    tiny = dataclasses.replace(cfg, t_proxy_thresh=1e-30)
+    m_tiny = march_rays_turbo(ro, rd, state, tiny)
+    np.testing.assert_array_equal(
+        np.asarray(m_off["mask"]), np.asarray(m_tiny["mask"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_off["ts"]), np.asarray(m_tiny["ts"])
+    )
+
+    thresh = 1e-4
+    on = dataclasses.replace(cfg, t_proxy_thresh=thresh)
+    m_on = march_rays_turbo(ro, rd, state, on)
+    n_off = np.asarray(jnp.sum(m_off["mask"], axis=1))
+    n_on = np.asarray(jnp.sum(m_on["mask"], axis=1))
+    assert n_on.sum() < 0.7 * n_off.sum(), (n_on.sum(), n_off.sum())
+    assert np.all(n_on[n_off > 0] > 0)  # surfaces keep their front
+
+    def render(m):
+        sig = jnp.where(
+            jnp.max(jnp.abs(m["xyzs"][..., 2:]), axis=-1) < 2.0, SIGMA, SIGMA
+        )  # uniform sigma inside samples (all samples are in the slab)
+        rgb = jnp.ones(m["xyzs"].shape[:2] + (3,)) * 0.5
+        out = composite_rays(
+            sig, rgb, m["ts"], m["deltas"], m["mask"], m["nears"],
+            m["fars"], t_thresh=1e-6,
+        )
+        return np.asarray(out["image"])
+
+    img_off, img_on = render(m_off), render(m_on)
+    assert np.max(np.abs(img_off - img_on)) < 50 * thresh
+
+
+def test_eval_f32_frames_unquantized():
+    """eval_f32_frames=True returns frames WITHOUT the u8 transfer
+    quantization: the u8 frame is within half a step (1/510) of the f32
+    frame, and the f32 frame actually carries sub-step detail (values
+    off the u8 lattice)."""
+    from ngp_tpu.config import NetworkConfig, TrainConfig
+    from ngp_tpu.models.nerf import NeRFNetwork
+    from ngp_tpu.training.nerf_grid import GridNeRFTrainer
+
+    render_cfg = _cfg(grid_size=16, max_steps=64, max_samples_per_ray=16)
+    net_cfg = NetworkConfig(
+        encoding="frequency", use_bf16=False, num_layers=1, hidden_dim=16,
+        num_layers_color=1, hidden_dim_color=16,
+    )
+    train_cfg = TrainConfig(iters=10, num_rays=256, workspace="/tmp/pp_ws")
+    model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
+    tr = GridNeRFTrainer(model, render_cfg, train_cfg, log_every=10**9,
+                         use_tensorboard=False)
+    tr.ensure_initialized()
+    state = _state(render_cfg, frac=0.06)
+    tr.aux = {"occ": state}
+    tr.eval_mean_samples = None
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.0
+    intr = np.array([40.0, 40.0, 16.0, 16.0], np.float32)
+    H = W = 32
+
+    img_u8, _ = tr.render_frame(pose, intr, H, W, chunk=256)
+    tr.eval_f32_frames = True
+    img_f32, _ = tr.render_frame(pose, intr, H, W, chunk=256)
+    assert np.max(np.abs(img_u8 - img_f32)) <= 0.5 / 255.0 + 1e-6
+    fg = img_f32[img_f32 < 0.999]  # off-background pixels
+    off_lattice = np.abs(fg * 255.0 - np.round(fg * 255.0))
+    assert np.any(off_lattice > 1e-3), "f32 frame still quantized"
