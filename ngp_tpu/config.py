@@ -66,14 +66,17 @@ class RenderConfig:
     # background until the first grid refreshes sparsify it — the
     # per-step `turbo_overflow` metric reports the dropped fraction.
     compact_mean_samples: int = 16
-    # transmittance-proxy early-out (EVAL dial; None = off): candidates
-    # whose ESTIMATED transmittance — from the density grid's pooled
-    # max density accumulated along the ray — falls below this never
-    # reach the network. The TPU analog of the reference inference
-    # loop's exact per-ray early termination (raymarching.cu:700-914:
-    # dead rays stop paying for network evals); the proxy uses the max
-    # density of each 4^3 coarse block, which OVERestimates opacity, so
-    # set this well below the exact composite's t_thresh.
+    # transmittance-proxy early-out (EVAL dial; None = off): march
+    # candidates whose ESTIMATED transmittance — the density grid's
+    # log-quantized, 3^3-ERODED per-fine-cell density accumulated
+    # along the ray — falls below this never become samples, so the
+    # global eval budget flows to VISIBLE samples. The TPU analog of
+    # the reference inference loop's exact per-ray early termination
+    # (raymarching.cu:700-914: dead rays stop paying for network
+    # evals). The erosion makes the estimate a strict UNDERestimate
+    # (boundary cells of the EMA-max grid otherwise read fully dense
+    # and grazing rays cull real content), so this can sit at the
+    # exact composite's t_thresh (e.g. 1e-4).
     t_proxy_thresh: Optional[float] = None
     # world-space probe-lattice coverage (march t-span). None = the full
     # AABB chord 2*sqrt(3)*bound. A caller that KNOWS occupied space is
@@ -137,6 +140,12 @@ class TrainConfig:
     max_keep_ckpt: int = 2
     ema_decay: float = 0.95
     error_map: bool = False
+    # fraction of each error-map batch drawn uniformly (TPU-specific
+    # guard against error-concentrated batches overflowing the static
+    # turbo sample budget — see raysampler.sample_ray_indices; the CUDA
+    # reference needs no such guard because its marcher allocates
+    # samples dynamically)
+    error_map_uniform_frac: float = 0.5
     patch_size: int = 1
     rand_pose: int = -1
     seed: int = 0

@@ -34,10 +34,25 @@ def sample_ray_indices(
     n_rays: int,
     error_map: Optional[jnp.ndarray] = None,
     patch_size: int = 1,
+    uniform_frac: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     """Choose ``n_rays`` flat pixel indices in [0, H*W).
 
     Returns {"inds": [N]} plus {"inds_coarse": [N]} in error-map mode.
+
+    ``uniform_frac`` (error-map mode only): fraction of the batch drawn
+    uniformly instead of error-weighted. TPU-specific guard with no
+    reference counterpart: the CUDA marcher allocates samples per ray
+    DYNAMICALLY (atomics), so a fully error-concentrated batch just
+    uses more memory — the TPU march has a static global sample budget
+    (cfg.compact_mean_samples), and an all-object batch overflows it,
+    truncated rays composite to background, their error stays maximal,
+    and the sampler death-spirals onto them (measured: loss floors at
+    0.10 and PSNR at ~18 on the hard scene). The uniform share keeps
+    cheap background rays in every batch (bounding the batch's mean
+    sample need) and keeps exploring cells whose stale error says
+    "done". Uniform rays also report their coarse cell so the error
+    map stays fresh everywhere.
     """
     out = {}
     if patch_size > 1:
@@ -55,20 +70,35 @@ def sample_ray_indices(
     elif error_map is None:
         out["inds"] = jax.random.randint(rng, (n_rays,), 0, H * W)
     else:
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        n_uni = int(round(n_rays * uniform_frac))
+        n_w = n_rays - n_uni
         # Gumbel top-k == multinomial without replacement
         logits = jnp.log(jnp.maximum(error_map.reshape(-1), 1e-12))
         gumbel = -jnp.log(-jnp.log(jax.random.uniform(k1, logits.shape) + 1e-10) + 1e-10)
-        _, inds_coarse = jax.lax.top_k(logits + gumbel, n_rays)
+        _, inds_coarse = jax.lax.top_k(logits + gumbel, n_w)
         cx = inds_coarse // ERROR_MAP_SIZE
         cy = inds_coarse % ERROR_MAP_SIZE
         sx = H / ERROR_MAP_SIZE
         sy = W / ERROR_MAP_SIZE
-        jx = jax.random.uniform(k2, (n_rays,))
-        jy = jax.random.uniform(k3, (n_rays,))
+        jx = jax.random.uniform(k2, (n_w,))
+        jy = jax.random.uniform(k3, (n_w,))
         ix = jnp.clip((cx * sx + jx * sx).astype(jnp.int32), 0, H - 1)
         iy = jnp.clip((cy * sy + jy * sy).astype(jnp.int32), 0, W - 1)
-        out["inds"] = ix * W + iy
+        inds = ix * W + iy
+        if n_uni:
+            inds_u = jax.random.randint(k4, (n_uni,), 0, H * W)
+            # uniform rays' coarse cells: invert the jittered upscale so
+            # their error-map entries refresh too
+            cu_x = jnp.clip((inds_u // W).astype(jnp.float32) / sx,
+                            0, ERROR_MAP_SIZE - 1).astype(jnp.int32)
+            cu_y = jnp.clip((inds_u % W).astype(jnp.float32) / sy,
+                            0, ERROR_MAP_SIZE - 1).astype(jnp.int32)
+            inds = jnp.concatenate([inds, inds_u])
+            inds_coarse = jnp.concatenate(
+                [inds_coarse, cu_x * ERROR_MAP_SIZE + cu_y]
+            )
+        out["inds"] = inds
         out["inds_coarse"] = inds_coarse
     return out
 

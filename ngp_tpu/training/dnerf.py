@@ -40,7 +40,7 @@ class TimeOccupancyState:
     mean_density: jnp.ndarray
     iter_density: jnp.ndarray
     coarse_payload: jnp.ndarray | None = None  # [T, rows, 128]
-    fine_payload: jnp.ndarray | None = None  # [T, CAS*Hc^3, 2] u32
+    fine_payload: jnp.ndarray | None = None  # [T, CAS*Hc^3, 18] u32
     prepass_payload: jnp.ndarray | None = None  # [T, rows, 128]
 
 

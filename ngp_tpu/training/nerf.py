@@ -200,6 +200,7 @@ class NeRFTrainer(Trainer):
             k_pix, H, W, n_rays,
             error_map=error_map,
             patch_size=self.train_cfg.patch_size,
+            uniform_frac=self.train_cfg.error_map_uniform_frac,
         )
         inds = sample["inds"]
         if self.mesh is not None:

@@ -23,7 +23,8 @@ import jax
 import numpy as np
 
 
-def run_one(name, n_rays, use_em, steps, every, H):
+def run_one(name, n_rays, use_em, steps, every, H, mean_samples=6,
+            uniform_frac=0.0):
     from ngp_tpu.config import NetworkConfig, RenderConfig, TrainConfig
     from ngp_tpu.data.nerf_dataset import NeRFDataset
     from ngp_tpu.data.synthetic import make_synthetic_dataset
@@ -40,7 +41,7 @@ def run_one(name, n_rays, use_em, steps, every, H):
         bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=256,
         max_samples_per_ray=32, grid_size=128, density_thresh=10.0,
         turbo=True, coarse_candidates=96, crossing_slots=16,
-        compact_mean_samples=6,
+        compact_mean_samples=mean_samples,
     )
     net_cfg = NetworkConfig(
         encoding="cpgrid", use_bf16=True,
@@ -50,7 +51,7 @@ def run_one(name, n_rays, use_em, steps, every, H):
     train_cfg = TrainConfig(
         iters=steps, lr=1e-2, num_rays=n_rays,
         workspace=f"/tmp/emab_{name}", update_extra_interval=16,
-        error_map=use_em,
+        error_map=use_em, error_map_uniform_frac=uniform_frac,
     )
     model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
     trainer = GridNeRFTrainer(
@@ -75,17 +76,24 @@ def run_one(name, n_rays, use_em, steps, every, H):
 
     done = 0
     t0 = time.perf_counter()
+    ovf = []
     while done < steps:
         m = trainer.step(nxt())
         done += 1
+        if done % 50 == 0 and "turbo_overflow" in m:
+            ovf.append(float(m["turbo_overflow"]))
         if done % every == 0:
             jax.block_until_ready(m)
             res = trainer.evaluate(val_ds)
             extra = ""
             if use_em:
                 em = np.asarray(trainer.aux["error_map"])
-                extra = (f" em[min {em.min():.2e} med "
-                         f"{np.median(em):.2e} max {em.max():.2e}]")
+                extra = (f" em[med {np.median(em):.2e} "
+                         f"p99 {np.percentile(em, 99):.2e} "
+                         f"max {em.max():.2e}]")
+            if ovf:
+                extra += f" ovf[{np.median(ovf):.2f}]"
+                ovf = []
             occ = trainer.aux["occ"]
             nocc = int(np.asarray(occ.occ_grid.sum()))
             print(f"[{name}] step {done}: psnr {res['psnr']:.2f} "
@@ -109,6 +117,18 @@ def main():
             run_one("em", 16384, True, steps, every, H)
         elif name == "em4096":
             run_one("em4096", 4096, True, steps, every, H)
+        elif name == "em4096mix":
+            # half uniform: bounds the batch's sample need; error share
+            # still concentrates on hard cells
+            run_one("em4096mix", 4096, True, steps, every, H,
+                    uniform_frac=0.5)
+        elif name == "em4096m16":
+            # full weighting, budget raised to carry all-object batches
+            run_one("em4096m16", 4096, True, steps, every, H,
+                    mean_samples=16)
+        elif name == "emmix":
+            run_one("emmix", 16384, True, steps, every, H,
+                    uniform_frac=0.5)
 
 
 if __name__ == "__main__":

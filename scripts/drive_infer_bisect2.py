@@ -110,6 +110,91 @@ def main():
     def t_range_of(inds, t0f, t1f):
         return jnp.stack([jnp.take(t0f, inds), jnp.take(t1f, inds)], axis=-1)
 
+    def march_prefix(ro, rd, state, tr, upto):
+        """Inline replica of march_rays_turbo's stages up to ``upto``
+        (lattice / topk1 / cells2 / cross) for stage attribution."""
+        from ngp_tpu.models.occupancy import (
+            _TKEY_INVALID, _TKEY_THRESH, COARSE_FACTOR, _coarse_lookup,
+            dt_bounds, mip_from_dt, mip_from_pos, near_far_from_aabb,
+            t_lattice,
+        )
+        K2 = cfg.coarse_candidates
+        Hg = cfg.grid_size
+        cas = cfg.cascades
+        Fc = COARSE_FACTOR
+        Hc = Hg // Fc
+        dt_min, dt_max = dt_bounds(cfg)
+        nears, fars = near_far_from_aabb(ro, rd, aabb_j, cfg.min_near)
+        nears = jnp.maximum(nears, tr[:, 0])
+        fars = jnp.minimum(fars, tr[:, 1])
+        hit = fars > nears
+        fars_c = jnp.where(hit, fars, nears)
+        ts, dts = t_lattice(nears, fars_c, cfg, None)
+
+        def cells_at(ts_, dts_):
+            x = ro[:, None, :] + rd[:, None, :] * ts_[..., None]
+            x = jnp.clip(x, -cfg.bound, cfg.bound)
+            level = jnp.maximum(mip_from_pos(x, cas),
+                                mip_from_dt(dts_, Hg, cas))
+            mip_bound = jnp.minimum(2.0 ** level.astype(jnp.float32),
+                                    cfg.bound)
+            nq = jnp.clip(
+                (0.5 * (x / mip_bound[..., None] + 1.0) * Hg).astype(
+                    jnp.int32), 0, Hg - 1,
+            )
+            coarse = nq // Fc
+            flat = ((level * Hc + coarse[..., 0]) * Hc
+                    + coarse[..., 1]) * Hc + coarse[..., 2]
+            return nq, flat
+
+        _, flat_c = cells_at(ts, dts)
+        coarse_ok = _coarse_lookup(state.coarse_payload, flat_c)
+        valid_c = coarse_ok & (ts < fars_c[:, None]) & hit[:, None]
+        if upto == "lattice":
+            return jnp.sum(valid_c)
+        tbits = jax.lax.bitcast_convert_type(ts, jnp.int32)
+        key = jnp.where(valid_c, tbits, tbits + _TKEY_INVALID)
+        negv, _ = jax.lax.top_k(-key, K2)
+        cand = -negv
+        cmask = cand < _TKEY_THRESH
+        tbits2 = jnp.where(cmask, cand, cand - _TKEY_INVALID)
+        if upto == "topk1":
+            return jnp.sum(tbits2)
+        ts2 = jax.lax.bitcast_convert_type(tbits2, jnp.float32)
+        dts2 = jnp.clip(ts2 * cfg.dt_gamma, dt_min, dt_max) \
+            if cfg.dt_gamma else jnp.full_like(ts2, dt_min)
+        n2, flat2 = cells_at(ts2, dts2)
+        if upto == "cells2":
+            return jnp.sum(flat2)
+        U = cfg.crossing_slots
+        change = jnp.concatenate(
+            [jnp.ones((ro.shape[0], 1), bool), flat2[:, 1:] != flat2[:, :-1]],
+            axis=1) & cmask
+        slot = jnp.cumsum(change.astype(jnp.int32), axis=1) - 1
+        in_budget = slot < U
+        slot_cl = jnp.clip(slot, 0, U - 1)
+        oh_first = (slot[:, :, None] == jnp.arange(U)[None, None, :]) \
+            & change[:, :, None]
+        slot_cell = jnp.max(jnp.where(oh_first, flat2[:, :, None], -1),
+                            axis=1)
+        pay = jnp.take(
+            state.fine_payload, jnp.maximum(slot_cell, 0).reshape(-1),
+            axis=0).reshape(ro.shape[0], U, -1)
+        shifts8 = jnp.arange(4, dtype=jnp.uint32) * 8
+        b0 = (pay[..., 0][..., None] >> shifts8[None, None, :]) & 0xFF
+        b1 = (pay[..., 1][..., None] >> shifts8[None, None, :]) & 0xFF
+        pay_bytes = jnp.concatenate([b0, b1], axis=-1).astype(jnp.bfloat16)
+        oh_slot = jax.nn.one_hot(slot_cl, U, dtype=jnp.bfloat16)
+        bytes_k = jnp.einsum("nku,nub->nkb", oh_slot, pay_bytes,
+                             preferred_element_type=jnp.float32)
+        off = n2 % Fc
+        bit6 = (off[..., 0] * Fc + off[..., 1]) * Fc + off[..., 2]
+        oh_byte = jax.nn.one_hot(bit6 >> 3, 8, dtype=jnp.float32)
+        byte_val = jnp.sum(bytes_k * oh_byte, axis=-1).astype(jnp.int32)
+        fine_ok = ((byte_val >> (bit6 & 7)) & 1) > 0
+        valid_f = fine_ok & cmask & in_budget
+        return jnp.sum(valid_f)  # upto == "cross"
+
     def make_variant(kind):
         @jax.jit
         def fn(params, aux, poses, di, t0f, t1f):
@@ -120,6 +205,8 @@ def main():
                 if kind == "rays":
                     return jnp.sum(rd)
                 tr = t_range_of(inds, t0f, t1f)
+                if kind in ("lattice", "topk1", "cells2", "cross"):
+                    return march_prefix(ro, rd, state, tr, kind)
                 if kind == "march":
                     m = om.march_rays_turbo(ro, rd, state, cfg, aabb=aabb_j,
                                             t_range=tr)
@@ -153,7 +240,10 @@ def main():
 
         return fn
 
-    variants = ["rays", "march", "geom", "dens", "nets", "full"]
+    if os.environ.get("NGP_MODE", "") == "march":
+        variants = ["rays", "lattice", "topk1", "cells2", "cross", "march"]
+    else:
+        variants = ["rays", "march", "geom", "dens", "nets", "full"]
     fns = {k: make_variant(k) for k in variants}
     params = trainer.eval_params()
 

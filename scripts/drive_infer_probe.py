@@ -112,14 +112,19 @@ def main():
                     ray_span=pre["span"], bucket=trainer._eval_lattice_span)
         return t, info
 
-    t, info = probe(val_ds.poses[0])  # compile
-    img0, _ = trainer.render_frame(val_ds.poses[0], intr, H, H, chunk=chunk)
-    mse = float(np.mean((np.asarray(img0, np.float64) - gt) ** 2))
-    print(f"compiled: PSNR {10*np.log10(1/max(mse,1e-12)):.2f}", info,
-          flush=True)
-    for i in range(5):
-        t, info = probe(val_ds.poses[1 + i % 7])
-        print({k: round(v * 1000) for k, v in t.items()}, info, flush=True)
+    chunks = [int(c) for c in
+              os.environ.get("NGP_CHUNKS", str(chunk)).split(",")]
+    for chunk in chunks:
+        t, info = probe(val_ds.poses[0])  # compile
+        img0, _ = trainer.render_frame(val_ds.poses[0], intr, H, H,
+                                       chunk=chunk)
+        mse = float(np.mean((np.asarray(img0, np.float64) - gt) ** 2))
+        print(f"chunk {chunk}: compiled, PSNR "
+              f"{10*np.log10(1/max(mse,1e-12)):.2f}", info, flush=True)
+        for i in range(4):
+            t, info = probe(val_ds.poses[1 + i % 7])
+            print({k: round(v * 1000) for k, v in t.items()}, info,
+                  flush=True)
 
 
 if __name__ == "__main__":

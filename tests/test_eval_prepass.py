@@ -226,6 +226,48 @@ def test_t_proxy_culling():
     assert np.max(np.abs(img_off - img_on)) < 50 * thresh
 
 
+def test_t_proxy_thin_sheet_no_phantom_cull():
+    """Erosion regression (the round-4 PSNR 35->15 bug): the grid
+    stores EMA-MAX point samples, so every BOUNDARY cell of an object
+    reads fully dense — a ray crossing (or grazing) a one-cell-thick
+    dense sheet would accumulate huge phantom optical depth and cull
+    real content behind it. pack_occupancy_payloads erodes (3^3
+    min-pool) the density before quantizing, so a sheet with no
+    interior contributes ZERO proxy depth: the march with the proxy on
+    must be bit-identical to proxy-off."""
+    import dataclasses
+
+    cfg = _cfg(bound=1.0, max_steps=64, max_samples_per_ray=32,
+               grid_size=16)
+    state = init_occupancy(cfg)
+    occ = np.zeros((1, 16, 16, 16), bool)
+    occ[0, :, :, 5] = True      # one-cell-thick dense sheet
+    occ[0, :, :, 10:12] = True  # real content behind it
+    dens = np.zeros((1, 16, 16, 16), np.float32)
+    dens[0, :, :, 5] = 1000.0   # raw codes would cull everything behind
+    dens[0, :, :, 10:12] = 5.0
+    occ_j, dens_j = jnp.asarray(occ), jnp.asarray(dens)
+    cp, fp = pack_occupancy_payloads(occ_j, dens_j)
+    state = state.replace(
+        occ_grid=occ_j, coarse_payload=cp, fine_payload=fp,
+        density_grid=dens_j, prepass_payload=pack_prepass_payload(occ_j),
+    )
+    ro, rd = _rays(n=64, seed=7)
+
+    m_off = march_rays_turbo(ro, rd, state, cfg)
+    on = dataclasses.replace(cfg, t_proxy_thresh=1e-4)
+    m_on = march_rays_turbo(ro, rd, state, on)
+    np.testing.assert_array_equal(
+        np.asarray(m_off["mask"]), np.asarray(m_on["mask"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_off["ts"]), np.asarray(m_on["ts"])
+    )
+    # sanity: rays do reach the content behind the sheet
+    n_samples = np.asarray(jnp.sum(m_off["mask"], axis=1))
+    assert n_samples.max() > 4
+
+
 def test_eval_f32_frames_unquantized():
     """eval_f32_frames=True returns frames WITHOUT the u8 transfer
     quantization: the u8 frame is within half a step (1/510) of the f32
