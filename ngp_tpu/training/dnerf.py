@@ -161,10 +161,13 @@ class DNeRFTrainer(GridNeRFTrainer):
             bg_color=bg_color if bg_color is not None else jnp.float32(1.0),
             aabb=aabb, t_range=t_range, return_geo=True,
         )
-        # geometry aux = (geo features, deform dx) for the deform reg
-        geo_pack = out.pop("geo")
-        out["deform"] = geo_pack[1]
-        out["sample_mask"] = out.pop("compact_valid")
+        # geometry aux = (geo features, deform dx) for the deform reg;
+        # absent on the direct (no-compaction) eval path, which is
+        # eval-only — the reg only reads these during training
+        geo_pack = out.pop("geo", None)
+        if geo_pack is not None:
+            out["deform"] = geo_pack[1]
+            out["sample_mask"] = out.pop("compact_valid")
         return out
 
     def _render_batch_eval(

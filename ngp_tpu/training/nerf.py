@@ -354,6 +354,8 @@ class NeRFTrainer(Trainer):
             getattr(self, "eval_t_proxy", None),
             getattr(self, "_eval_lattice_span", None),
             getattr(self, "eval_f32_frames", False),
+            getattr(self, "eval_direct", False),
+            getattr(self, "eval_direct_cap", None),
         )
 
     def _chunk_renderer(self, chunk: int, H: int, W: int,

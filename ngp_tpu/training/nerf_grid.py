@@ -27,6 +27,7 @@ from ngp_tpu.models.occupancy import (
     occupied_aabb,
     render_rays_grid,
     render_rays_grid_turbo,
+    render_rays_grid_turbo_direct,
     update_occupancy,
 )
 from ngp_tpu.training.nerf import NeRFTrainer
@@ -91,6 +92,18 @@ class GridNeRFTrainer(NeRFTrainer):
         # equivalent of the reference's alive-ray compaction loop
         # (nerf/renderer.py:336-367) at frame granularity
         self.eval_prepass: bool = True
+        # direct (no-compaction) eval render: a STATIC per-ray sample
+        # cap (eval_direct_cap, ALIGN-multiple; None = exact, i.e.
+        # cfg.max_samples_per_ray) replaces the global
+        # water-filled budget — the
+        # march's ascending-t prefix IS the compaction, so the N*S
+        # compaction sort (the render's only super-linear stage, the
+        # reason eval chunks were pinned at 4096) disappears and huge
+        # chunks amortize the ~0.3 ms/chunk lax.map iteration floor.
+        # Padding waste (network evals on masked slots of short rays)
+        # is the trade; span-bucketed chunk lists bound it.
+        self.eval_direct: bool = False
+        self.eval_direct_cap: Optional[int] = None
         self._jit_prepass = {}
         self._prepass_inds_cache = {}
 
@@ -139,6 +152,30 @@ class GridNeRFTrainer(NeRFTrainer):
                 over["lattice_span"] = float(self._eval_lattice_span)
             if over:
                 cfg = dataclasses.replace(cfg, **over)
+        if (
+            self.render_cfg.turbo
+            and not perturb
+            and self.eval_direct
+            and bg_fn is None
+        ):
+            from ngp_tpu.models.occupancy import ALIGN
+
+            # default static cap: EXACT (the march's own per-ray
+            # maximum) — enabling eval_direct alone changes nothing
+            # numerically; the cap is an explicit perf dial. Deriving
+            # it from eval_mean_samples was a trap: the compacted
+            # path's water-fill level routinely sits well above the
+            # mean (empty rays donate budget), so cap=ems or 2*ems
+            # truncates every dense ray (measured on the 200^2 verify
+            # scene: cap 8 reads 25.4 dB where cap 16 reads 30.1 and
+            # the ems-4 compacted path 26.7)
+            cap = self.eval_direct_cap or cfg.max_samples_per_ray
+            cap = -(-cap // ALIGN) * ALIGN
+            return render_rays_grid_turbo_direct(
+                density_fn, color_fn, rays_o, rays_d, occ, cfg,
+                bg_color=bg_color, max_samples=int(cap), aabb=aabb,
+                t_range=t_range,
+            )
         if self.render_cfg.turbo:
             # eval budget: eval_mean_samples per ray on average (safe —
             # render_frame shuffles rays so chunks are frame-average);

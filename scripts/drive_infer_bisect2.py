@@ -68,7 +68,8 @@ def main():
     jax.block_until_ready(trainer.state.params)
     print("trained", flush=True)
 
-    chunk = int(os.environ.get("NGP_CHUNK", "4096"))
+    chunks = [int(c) for c in
+              os.environ.get("NGP_CHUNK", "4096").split(",")]
     ems = int(os.environ.get("NGP_EMS", "6"))
     cc = int(os.environ.get("NGP_CC", "64"))
     trainer.eval_mean_samples = ems
@@ -89,14 +90,8 @@ def main():
     pre0 = trainer._run_eval_prepass(poses0, intr, H, H, aabb_eff)
     trainer._set_eval_lattice_span_value(pre0["span"])
     span = trainer._eval_lattice_span
-    C = max(1, -(-pre0["count"] // chunk))
-    C = -(-C // 16) * 16 + 16  # headroom so later poses reuse the trace
-    C = min(C, max(1, -(-n // chunk)))
-    print(f"count {pre0['count']} C {C} span {span}", flush=True)
-
     cfg = dataclasses.replace(render_cfg, coarse_candidates=cc,
                               lattice_span=span)
-    budget = chunk * ems
     density_fn, color_fn, _bg = trainer._fns(trainer.eval_params())
     aabb_j = jnp.asarray(aabb_eff)
 
@@ -195,7 +190,7 @@ def main():
         valid_f = fine_ok & cmask & in_budget
         return jnp.sum(valid_f)  # upto == "cross"
 
-    def make_variant(kind):
+    def make_variant(kind, chunk, budget):
         @jax.jit
         def fn(params, aux, poses, di, t0f, t1f):
             state = aux["occ"]
@@ -211,6 +206,17 @@ def main():
                     m = om.march_rays_turbo(ro, rd, state, cfg, aabb=aabb_j,
                                             t_range=tr)
                     return jnp.sum(m["ts"])
+                if kind == "direct":
+                    # no-compaction render: static per-ray cap = ems
+                    # rounded to ALIGN (the water-fill level a 6N budget
+                    # typically lands on is 8)
+                    out = om.render_rays_grid_turbo_direct(
+                        density_fn, color_fn, ro, rd, state, cfg,
+                        max_samples=max(om.ALIGN, -(-ems // om.ALIGN)
+                                        * om.ALIGN),
+                        aabb=aabb_j, t_range=tr,
+                    )
+                    return jnp.sum(out["image"]) + jnp.sum(out["depth"])
                 geo = om._turbo_compact_geometry(
                     ro, rd, state, cfg, None, False, None, aabb_j, budget,
                     t_range=tr,
@@ -240,28 +246,41 @@ def main():
 
         return fn
 
-    if os.environ.get("NGP_MODE", "") == "march":
+    mode = os.environ.get("NGP_MODE", "")
+    if mode == "march":
         variants = ["rays", "lattice", "topk1", "cells2", "cross", "march"]
+    elif mode == "all":
+        variants = ["rays", "lattice", "topk1", "cells2", "cross", "march",
+                    "geom", "dens", "nets", "full", "direct"]
     else:
-        variants = ["rays", "march", "geom", "dens", "nets", "full"]
-    fns = {k: make_variant(k) for k in variants}
+        variants = ["rays", "march", "geom", "dens", "nets", "full",
+                    "direct"]
     params = trainer.eval_params()
 
-    def run(kind, pose_i):
-        poses = np.asarray(val_ds.poses[pose_i], np.float32)[None]
-        pre = trainer._run_eval_prepass(poses, intr, H, H, aabb_eff)
-        di, _ = trainer._sorted_chunk_slices(pre["sorted_inds"], C, chunk)
-        t0 = time.perf_counter()
-        out = fns[kind](params, trainer.aux, jnp.asarray(poses), di,
-                        pre["t0"], pre["t1"])
-        jax.block_until_ready(out)
-        return time.perf_counter() - t0
+    for chunk in chunks:
+        C = max(1, -(-pre0["count"] // chunk))
+        C = -(-C // 16) * 16 + 16  # headroom: later poses reuse the trace
+        C = min(C, max(1, -(-n // chunk)))
+        print(f"chunk {chunk}: count {pre0['count']} C {C} span {span}",
+              flush=True)
+        budget = chunk * ems
+        fns = {k: make_variant(k, chunk, budget) for k in variants}
 
-    for kind in variants:
-        run(kind, 0)  # compile
-        ts = [run(kind, 1 + i % 7) for i in range(5)]
-        print(f"{kind:6s} {np.median(ts)*1000:7.0f} ms/frame "
-              f"(min {min(ts)*1000:.0f})", flush=True)
+        def run(kind, pose_i):
+            poses = np.asarray(val_ds.poses[pose_i], np.float32)[None]
+            pre = trainer._run_eval_prepass(poses, intr, H, H, aabb_eff)
+            di, _ = trainer._sorted_chunk_slices(pre["sorted_inds"], C, chunk)
+            t0 = time.perf_counter()
+            out = fns[kind](params, trainer.aux, jnp.asarray(poses), di,
+                            pre["t0"], pre["t1"])
+            jax.block_until_ready(out)
+            return time.perf_counter() - t0
+
+        for kind in variants:
+            run(kind, 0)  # compile
+            ts = [run(kind, 1 + i % 7) for i in range(5)]
+            print(f"{kind:6s} {np.median(ts)*1000:7.0f} ms/frame "
+                  f"(min {min(ts)*1000:.0f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -86,25 +86,28 @@ def main():
 
     configs = [
         # name, ems, max_samples, stride, coarse_candidates, prepass,
-        # t_proxy (transmittance-proxy early-out threshold, None = off)
-        ("pre-ems6", 6, None, 1, 64, 1, None),
-        ("tp1e2-ems6", 6, None, 1, 64, 1, 1e-2),
-        ("tp1e3-ems6", 6, None, 1, 64, 1, 1e-3),
-        ("tp1e3-nodrop", None, None, 1, 64, 1, 1e-3),
-        ("pre-nodrop", None, None, 1, 64, 1, None),
+        # t_proxy (transmittance-proxy early-out threshold, None = off),
+        # direct_cap (static per-ray cap, enables the no-compaction
+        # render; None = compacted path), chunk override
+        ("pre-ems6", 6, None, 1, 64, 1, None, None, None),
+        ("tp1e2-ems6", 6, None, 1, 64, 1, 1e-2, None, None),
+        ("tp1e3-ems6", 6, None, 1, 64, 1, 1e-3, None, None),
+        ("tp1e3-nodrop", None, None, 1, 64, 1, 1e-3, None, None),
+        ("pre-nodrop", None, None, 1, 64, 1, None, None, None),
     ]
     spec = os.environ.get("NGP_CONFIGS", "")
     if spec:
         configs = []
         for part in spec.split(";"):
-            fields = part.split(":")
-            nm, ems, mx, st, cc, pp = fields[:6]
-            tp = fields[6] if len(fields) > 6 else "-"
+            fields = part.split(":") + ["-"] * 9
+            nm, ems, mx, st, cc, pp, tp, dc, ck = fields[:9]
             configs.append((
                 nm, int(ems) if ems != "-" else None,
                 int(mx) if mx != "-" else None, int(st),
                 int(cc) if cc != "-" else None, int(pp),
                 float(tp) if tp != "-" else None,
+                int(dc) if dc != "-" else None,
+                int(ck) if ck != "-" else None,
             ))
 
     def render_once(pose):
@@ -125,13 +128,17 @@ def main():
         wall = time.perf_counter() - t_all
         return img, wall, dev
 
-    for name, ems, mx, st, cc, pp, tp in configs:
+    base_chunk = chunk
+    for name, ems, mx, st, cc, pp, tp, dc, ck in configs:
         trainer.eval_mean_samples = ems
         trainer.eval_max_samples = mx
         trainer.eval_probe_stride = st
         trainer.eval_coarse_candidates = cc
         trainer.eval_prepass = bool(pp)
         trainer.eval_t_proxy = tp
+        trainer.eval_direct = dc is not None
+        trainer.eval_direct_cap = dc
+        chunk = ck or base_chunk
         trainer._jit_render_chunks = {}
         t0 = time.perf_counter()
         img, _, _ = render_once(val_ds.poses[0])  # compile

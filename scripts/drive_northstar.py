@@ -68,6 +68,7 @@ def main():
         iters=30000, lr=1e-2, num_rays=16384,
         workspace=f"/tmp/northstar_{'em' if use_error_map else 'base'}",
         update_extra_interval=16, error_map=use_error_map,
+        error_map_uniform_frac=float(os.environ.get("NGP_EM_MIX", "0.5")),
     )
     model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
     trainer = GridNeRFTrainer(

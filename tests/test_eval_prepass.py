@@ -163,6 +163,14 @@ def test_trainer_prepass_frame_parity():
     mse = float(np.mean((img_on - img_off) ** 2))
     assert mse < 1e-4, mse
 
+    # direct (no-compaction) render at an ample static cap: same frame
+    tr.eval_direct = True
+    tr.eval_direct_cap = render_cfg.max_samples_per_ray
+    img_d, _ = tr.render_frame(pose, intr, H, W, chunk=256)
+    mse_d = float(np.mean((img_d - img_on) ** 2))
+    assert mse_d < 1e-6, mse_d
+    tr.eval_direct = False
+
 
 def test_t_proxy_culling():
     """Transmittance-proxy early-out (march_rays_turbo via

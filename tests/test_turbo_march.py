@@ -160,7 +160,9 @@ def test_adaptive_lattice_reaches_far():
 
 
 def test_turbo_overflow_counter():
-    """n_dropped reports budget overflow; ample budgets report zero."""
+    """n_dropped reports budget overflow; ample budgets report zero;
+    the fine-rate-calibrated estimate tracks TRUE drops far better than
+    the raw (assume-every-drop-was-occupied) upper bound."""
     # ample: candidates = lattice length, S = lattice length => nothing
     # can ever be dropped
     cfg_full = _cfg(max_samples_per_ray=64)
@@ -170,9 +172,20 @@ def test_turbo_overflow_counter():
     ro, rd = _rays(n=16, seed=31)
     mf = march_rays_turbo(ro, rd, state, cfg_full)
     mt = march_rays_turbo(ro, rd, state, cfg_tight)
-    assert int(np.asarray(mf["n_dropped"]).sum()) == 0
+    assert float(np.asarray(mf["n_dropped"]).sum()) == 0
     # tight budgets on a 50%-occupied scene must drop something
-    assert int(np.asarray(mt["n_dropped"]).sum()) > 0
+    assert float(np.asarray(mt["n_dropped"]).sum()) > 0
+
+    # calibration accuracy: true drops = full-budget samples - tight
+    # samples (the tight march's survivors are a prefix of the full
+    # set, so the difference IS the dropped count)
+    true_drop = float(
+        (np.asarray(mf["n_total"]) - np.asarray(mt["n_total"])).sum()
+    )
+    est = float(np.asarray(mt["n_dropped"]).sum())
+    assert true_drop > 0
+    # within 50% of truth (the raw upper bound overstated 2-4x)
+    assert 0.5 * true_drop <= est <= 1.6 * true_drop, (est, true_drop)
 
 
 def test_crossing_budget_drops_far_first():
@@ -281,6 +294,55 @@ def test_render_turbo_matches_v1_render():
     )
     np.testing.assert_allclose(
         np.asarray(o1["weights_sum"]), np.asarray(o2["weights_sum"]), atol=1e-4
+    )
+
+
+def test_render_turbo_direct_matches_compacted():
+    """The no-compaction eval render (render_rays_grid_turbo_direct)
+    equals the compacted render when the budget doesn't bind: the
+    network sees the same sample positions either way (the compact
+    batch is just a re-packing), and masked slots never reach the
+    composite."""
+    from ngp_tpu.models.occupancy import render_rays_grid_turbo_direct
+
+    cfg = _cfg()
+    state = _random_state(cfg, frac=0.4)
+    ro, rd = _rays(n=32, seed=11)
+
+    def density_fn(x):
+        return jnp.maximum(1.0 - jnp.linalg.norm(x, axis=-1), 0.0) * 8.0, \
+            x * 0.5 + 0.5
+
+    def color_fn(d, geo):
+        return jnp.clip(geo, 0.0, 1.0)
+
+    o1 = render_rays_grid_turbo(
+        density_fn, color_fn, ro, rd, state, cfg,
+        budget=ro.shape[0] * cfg.max_samples_per_ray,
+    )
+    o2 = render_rays_grid_turbo_direct(
+        density_fn, color_fn, ro, rd, state, cfg
+    )
+    for k in ("image", "depth", "weights_sum"):
+        np.testing.assert_allclose(
+            np.asarray(o1[k]), np.asarray(o2[k]), atol=1e-5
+        )
+
+    # static per-ray cap: equals the compacted render whose water-fill
+    # level produces the same uniform allowance
+    o3 = render_rays_grid_turbo_direct(
+        density_fn, color_fn, ro, rd, state, cfg, max_samples=8
+    )
+    assert o3["image"].shape == o1["image"].shape
+    # rays with <= 8 samples render identically under the cap
+    n_tot = np.asarray(
+        march_rays_turbo(ro, rd, state, cfg)["mask"].sum(axis=1)
+    )
+    short = n_tot <= 8
+    assert short.any()
+    np.testing.assert_allclose(
+        np.asarray(o1["image"])[short], np.asarray(o3["image"])[short],
+        atol=1e-5,
     )
 
 
