@@ -85,6 +85,11 @@ class NeRFTrainer(Trainer):
         # chunk, so small chunks win even inside one lax.map dispatch.
         # (The reference's own default is 4096, renderer.py:554.)
         self.max_ray_batch = 4096
+        # eval lax.map batching: vmap the chunk renderer body over this
+        # many chunks per loop iteration (None = 1). Divides the
+        # per-iteration loop machinery cost without changing the
+        # per-row tile shapes the 4096 sweet spot comes from.
+        self.eval_map_batch: Optional[int] = None
         # optional jnp image loss for random-pose guidance steps (the
         # reference's CLIP mode, utils.py:473-488); see
         # ngp_tpu.training.clip_guidance. Must be jit-traceable.
@@ -356,6 +361,8 @@ class NeRFTrainer(Trainer):
             getattr(self, "eval_f32_frames", False),
             getattr(self, "eval_direct", False),
             getattr(self, "eval_direct_cap", None),
+            getattr(self, "eval_map_batch", None),
+            getattr(self, "eval_prepass_stride", 1),
         )
 
     def _chunk_renderer(self, chunk: int, H: int, W: int,
@@ -433,6 +440,18 @@ class NeRFTrainer(Trainer):
                         out["depth"].astype(jnp.bfloat16),
                     )
 
+                # eval_map_batch: vmap the chunk body over B chunks per
+                # loop iteration — divides the lax.map per-iteration
+                # machinery cost by B while keeping every per-row op
+                # (top_k, compaction sort) at its 4096-row tile shape,
+                # unlike raising `chunk` itself (16384-row chunks
+                # measured 355 vs 225 ms/frame: the march's top_k is
+                # super-linear in rows)
+                mb = getattr(self, "eval_map_batch", None)
+                if mb:
+                    return jax.lax.map(
+                        one, (inds_chunks, fids_chunks), batch_size=int(mb)
+                    )
                 return jax.lax.map(one, (inds_chunks, fids_chunks))
 
             self._jit_render_chunks[key] = render_frame_fn

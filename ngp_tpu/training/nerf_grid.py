@@ -104,6 +104,17 @@ class GridNeRFTrainer(NeRFTrainer):
         # is the trade; span-bucketed chunk lists bound it.
         self.eval_direct: bool = False
         self.eval_direct_cap: Optional[int] = None
+        # prepass PIXEL stride: >1 probes every s-th pixel in x and y
+        # (s^2 fewer prepass rays) and reconstructs full-res hit/[t0,
+        # t1] by a 3x3 probe-neighborhood dilation (hit = any, t0 =
+        # min - h, t1 = max + h). Conservative by the same argument as
+        # stride 1: a full-res ray is within (s/sqrt2) px of a probed
+        # ray, i.e. < 0.02 world units at s<=8 across the scene — far
+        # inside the payload's 3^3 coarse-cell dilation ball (h ~
+        # 2*bound/32) that already covers the probe lattice's h/2
+        # along-ray gap; the extra +-h on t0/t1 covers the cross-ray
+        # offset.
+        self.eval_prepass_stride: int = 1
         self._jit_prepass = {}
         self._prepass_inds_cache = {}
 
@@ -306,15 +317,26 @@ class GridNeRFTrainer(NeRFTrainer):
         if time_sliced and F != 1:
             return None  # one payload slice per dispatch (group=1)
         n = H * W
+        s = max(int(getattr(self, "eval_prepass_stride", 1)), 1)
+        # subsampled probe grid (see eval_prepass_stride): every s-th
+        # pixel, last row/col clamped so the grid covers the frame edge
+        Hs, Ws = -(-H // s), -(-W // s)
+        ns = Hs * Ws
         chunk = 65536
-        Cp = -(-F * n // chunk)
-        ikey = (F, n, chunk)
+        Cp = -(-F * ns // chunk)
+        ikey = (F, n, chunk, s)
         if ikey in self._prepass_inds_cache:
             di, df = self._prepass_inds_cache[ikey]
         else:
-            inds = np.tile(np.arange(n, dtype=np.int32), F)
-            fid = np.repeat(np.arange(F, dtype=np.int32), n)
-            pad = Cp * chunk - F * n
+            if s == 1:
+                inds1 = np.arange(n, dtype=np.int32)
+            else:
+                rows = np.minimum(np.arange(Hs, dtype=np.int32) * s, H - 1)
+                cols = np.minimum(np.arange(Ws, dtype=np.int32) * s, W - 1)
+                inds1 = (rows[:, None] * W + cols[None, :]).reshape(-1)
+            inds = np.tile(inds1, F)
+            fid = np.repeat(np.arange(F, dtype=np.int32), ns)
+            pad = Cp * chunk - F * ns
             if pad:
                 inds = np.concatenate([inds, np.full(pad, inds[-1], np.int32)])
                 fid = np.concatenate([fid, np.full(pad, fid[-1], np.int32)])
@@ -325,7 +347,7 @@ class GridNeRFTrainer(NeRFTrainer):
         # render_frames (the per-ray spans it produces then shrink the
         # MAIN march's bucket below it)
         span = self._eval_lattice_span
-        pkey = (Cp, chunk, H, W, span, F == 1)
+        pkey = (Cp, chunk, H, W, span, F == 1, s)
         perm_key = ("dev_perm", n)
         if perm_key not in self._prepass_inds_cache:
             self._prepass_inds_cache[perm_key] = jnp.asarray(
@@ -334,6 +356,9 @@ class GridNeRFTrainer(NeRFTrainer):
         perm_dev = self._prepass_inds_cache[perm_key]
         if pkey not in self._jit_prepass:
             pcfg = dataclasses.replace(cfg, lattice_span=span)
+            from ngp_tpu.models.occupancy import prepass_spacing
+
+            h_sp = prepass_spacing(pcfg)
 
             @jax.jit
             def prepass_fn(aux, poses_d, intr, inds_chunks, fids_chunks, aabb,
@@ -350,29 +375,78 @@ class GridNeRFTrainer(NeRFTrainer):
                     )
                     return (
                         out["hit"],
-                        out["t0"],
-                        jnp.where(out["hit"], out["t1"] - out["t0"], 0.0),
+                        jnp.where(out["hit"], out["t0"], 0.0),
+                        jnp.where(out["hit"], out["t1"], 0.0),
                     )
 
-                hits, t0s, spans = jax.lax.map(
+                hits, t0s, t1s = jax.lax.map(
                     one, (inds_chunks, fids_chunks)
                 )
+                if s > 1:
+                    # stride reconstruction: dilate over the 3x3 probe
+                    # neighborhood (hit = any, t0 = min - h, t1 = max +
+                    # h — the +-h covers the <= s-pixel cross-ray
+                    # offset, far below one coarse cell at s <= 8),
+                    # then nearest-upsample to full resolution
+                    Hs_, Ws_ = Hs, Ws
+                    hit_g = hits.reshape(-1)[: F * ns].reshape(F, Hs_, Ws_)
+                    t0_g = jnp.where(
+                        hit_g,
+                        t0s.reshape(-1)[: F * ns].reshape(F, Hs_, Ws_),
+                        jnp.inf,
+                    )
+                    t1_g = jnp.where(
+                        hit_g,
+                        t1s.reshape(-1)[: F * ns].reshape(F, Hs_, Ws_),
+                        -jnp.inf,
+                    )
+
+                    def pool(x, init, op):
+                        return jax.lax.reduce_window(
+                            x, init, op, (1, 3, 3), (1, 1, 1), "SAME"
+                        )
+
+                    hit_d = pool(
+                        hit_g.astype(jnp.float32), -jnp.inf, jax.lax.max
+                    ) > 0.0
+                    t0_d = pool(t0_g, jnp.inf, jax.lax.min) - h_sp
+                    t1_d = pool(t1_g, -jnp.inf, jax.lax.max) + h_sp
+                    rmap = jnp.arange(H, dtype=jnp.int32) // s
+                    cmap = jnp.arange(W, dtype=jnp.int32) // s
+                    hit_full = hit_d[:, rmap][:, :, cmap]
+                    t0_full = jnp.where(
+                        hit_full, t0_d[:, rmap][:, :, cmap], 0.0
+                    )
+                    t1_full = jnp.where(
+                        hit_full, t1_d[:, rmap][:, :, cmap], 0.0
+                    )
+                    hit_flat_all = hit_full.reshape(F, n)
+                    t0_out = t0_full.reshape(-1)
+                    t1_out = t1_full.reshape(-1)
+                    spans_all = jnp.where(
+                        hit_full, t1_full - t0_full, 0.0
+                    )
+                else:
+                    hit_flat_all = hits.reshape(-1)[: F * n].reshape(F, n)
+                    t0_out = t0s.reshape(-1)
+                    t1_out = t1s.reshape(-1)
+                    spans_all = jnp.where(hits, t1s - t0s, 0.0)
                 if F == 1:
                     # device-side chunk list: permutation stably sorted
                     # hit-first (prefix = exactly the hit rays, in the
                     # frame-shuffle order the budget sharing relies on)
-                    hit_flat = hits.reshape(-1)[:n]
+                    hit_flat = hit_flat_all.reshape(-1)[:n]
                     key = (~hit_flat[perm]).astype(jnp.int32)
                     _, sorted_inds = jax.lax.sort(
                         (key, perm), num_keys=1, is_stable=True
                     )
                     count = jnp.sum(hit_flat.astype(jnp.int32))
                     meta = jnp.stack(
-                        [count.astype(jnp.float32), jnp.max(spans)]
+                        [count.astype(jnp.float32), jnp.max(spans_all)]
                     )
-                    return hits, t0s, t0s + spans, meta, sorted_inds
-                meta = jnp.stack([jnp.float32(0.0), jnp.max(spans)])
-                return hits, t0s, t0s + spans, meta, perm
+                    return hit_flat_all, t0_out, t1_out, meta, sorted_inds
+                meta = jnp.stack([jnp.float32(0.0), jnp.max(spans_all)])
+                return hit_flat_all, t0_out, t1_out, meta, perm
 
             self._jit_prepass[pkey] = prepass_fn
         t0v = 0.0 if times is None else float(np.asarray(times).reshape(-1)[0])
@@ -393,7 +467,7 @@ class GridNeRFTrainer(NeRFTrainer):
             out["sorted_inds"] = sorted_inds
             out["count"] = int(meta_np[0])
         else:
-            out["hit"] = np.asarray(hits).reshape(-1)[: F * n].reshape(F, n)
+            out["hit"] = np.asarray(hits).reshape(F, n)
         return out
 
     # ---- occupancy maintenance -------------------------------------------

@@ -88,19 +88,20 @@ def main():
         # name, ems, max_samples, stride, coarse_candidates, prepass,
         # t_proxy (transmittance-proxy early-out threshold, None = off),
         # direct_cap (static per-ray cap, enables the no-compaction
-        # render; None = compacted path), chunk override
-        ("pre-ems6", 6, None, 1, 64, 1, None, None, None),
-        ("tp1e2-ems6", 6, None, 1, 64, 1, 1e-2, None, None),
-        ("tp1e3-ems6", 6, None, 1, 64, 1, 1e-3, None, None),
-        ("tp1e3-nodrop", None, None, 1, 64, 1, 1e-3, None, None),
-        ("pre-nodrop", None, None, 1, 64, 1, None, None, None),
+        # render; None = compacted path), chunk override,
+        # prepass pixel stride
+        ("pre-ems6", 6, None, 1, 64, 1, None, None, None, 1, None),
+        ("tp1e2-ems6", 6, None, 1, 64, 1, 1e-2, None, None, 1, None),
+        ("tp1e3-ems6", 6, None, 1, 64, 1, 1e-3, None, None, 1, None),
+        ("tp1e3-nodrop", None, None, 1, 64, 1, 1e-3, None, None, 1, None),
+        ("pre-nodrop", None, None, 1, 64, 1, None, None, None, 1, None),
     ]
     spec = os.environ.get("NGP_CONFIGS", "")
     if spec:
         configs = []
         for part in spec.split(";"):
-            fields = part.split(":") + ["-"] * 9
-            nm, ems, mx, st, cc, pp, tp, dc, ck = fields[:9]
+            fields = part.split(":") + ["-"] * 11
+            nm, ems, mx, st, cc, pp, tp, dc, ck, ps, mb = fields[:11]
             configs.append((
                 nm, int(ems) if ems != "-" else None,
                 int(mx) if mx != "-" else None, int(st),
@@ -108,6 +109,8 @@ def main():
                 float(tp) if tp != "-" else None,
                 int(dc) if dc != "-" else None,
                 int(ck) if ck != "-" else None,
+                int(ps) if ps != "-" else 1,
+                int(mb) if mb != "-" else None,
             ))
 
     def render_once(pose):
@@ -129,7 +132,7 @@ def main():
         return img, wall, dev
 
     base_chunk = chunk
-    for name, ems, mx, st, cc, pp, tp, dc, ck in configs:
+    for name, ems, mx, st, cc, pp, tp, dc, ck, ps, mb in configs:
         trainer.eval_mean_samples = ems
         trainer.eval_max_samples = mx
         trainer.eval_probe_stride = st
@@ -138,6 +141,8 @@ def main():
         trainer.eval_t_proxy = tp
         trainer.eval_direct = dc is not None
         trainer.eval_direct_cap = dc
+        trainer.eval_prepass_stride = ps
+        trainer.eval_map_batch = mb
         chunk = ck or base_chunk
         trainer._jit_render_chunks = {}
         t0 = time.perf_counter()
