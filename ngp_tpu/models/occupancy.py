@@ -197,9 +197,13 @@ def pack_occupancy_payloads(occ_grid: jnp.ndarray, density_grid=None):
         d = _erode3(jnp.maximum(density_grid, 0.0)).reshape(
             cas, Hc, F, Hc, F, Hc, F
         ).transpose(0, 1, 3, 5, 2, 4, 6).reshape(R, F**3)
+        # FLOOR, not round: the decoded proxy density must be a strict
+        # underestimate of the eroded density so t_proxy_thresh can sit
+        # at the composite's exact t_thresh (round could overshoot by
+        # up to half a code step, ~2.2%)
         code = jnp.where(
             d > 2.0 ** -16,
-            jnp.clip(jnp.round((jnp.log2(jnp.maximum(d, 1e-30)) + 16.0)
+            jnp.clip(jnp.floor((jnp.log2(jnp.maximum(d, 1e-30)) + 16.0)
                                * 8.0), 1.0, 255.0),
             0.0,
         ).astype(jnp.uint32)  # [R, 64]

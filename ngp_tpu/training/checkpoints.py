@@ -58,14 +58,61 @@ def latest_checkpoint(workspace: str, name: str) -> Optional[str]:
     return ckpts[-1] if ckpts else None
 
 
+def _tolerant_merge(template_sd, raw, path: str, skipped: list):
+    """Overlay ``raw`` (msgpack state dict) onto the template's state
+    dict, keeping the template value (and recording the key path) for
+    any key missing from the checkpoint or whose array shape changed —
+    the reference's ``strict=False`` load semantics
+    (nerf/utils.py:1094-1103)."""
+    if isinstance(template_sd, dict):
+        if not isinstance(raw, dict):
+            skipped.append(path or "/")
+            return template_sd
+        out = {}
+        for k, v in template_sd.items():
+            if k in raw:
+                out[k] = _tolerant_merge(v, raw[k], f"{path}/{k}", skipped)
+            else:
+                skipped.append(f"{path}/{k}")
+                out[k] = v
+        return out
+    t_shape = getattr(template_sd, "shape", None)
+    r_shape = getattr(raw, "shape", None)
+    if (
+        t_shape is not None
+        and r_shape is not None
+        and tuple(t_shape) != tuple(r_shape)
+    ):
+        skipped.append(path or "/")
+        return template_sd
+    return raw
+
+
 def load_checkpoint(
     path: str, state_template: Any
 ) -> Tuple[Any, Dict]:
-    """Restore a pytree with the same structure as ``state_template``."""
+    """Restore a pytree with the same structure as ``state_template``.
+
+    Tolerant to schema drift: fields the checkpoint lacks (or whose
+    array shapes no longer match, e.g. the round-4 fine_payload
+    widening [R,2]->[R,18]) keep the template's value, and their key
+    paths are returned in ``extras["restore_skipped"]`` so callers can
+    rebuild derived state (GridNeRFTrainer repacks occupancy payloads
+    from the restored density/occ grids)."""
     with open(path, "rb") as f:
-        state = flax.serialization.from_bytes(state_template, f.read())
+        data = f.read()
+    skipped: list = []
+    # always merge tolerantly (equivalent to from_bytes when everything
+    # matches): strict from_bytes raises on missing keys and silently
+    # restores shape-drifted arrays, both wrong for schema evolution
+    raw = flax.serialization.msgpack_restore(data)
+    template_sd = flax.serialization.to_state_dict(state_template)
+    merged = _tolerant_merge(template_sd, raw, "", skipped)
+    state = flax.serialization.from_state_dict(state_template, merged)
     extras = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
             extras = json.load(f)
+    if skipped:
+        extras = dict(extras, restore_skipped=skipped)
     return state, extras

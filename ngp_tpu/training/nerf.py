@@ -510,6 +510,18 @@ class NeRFTrainer(Trainer):
         params = params if params is not None else self.eval_params()
         poses = np.asarray(poses, np.float32)
         F = poses.shape[0]
+        # the chunk renderer applies ONE time per chunk (chunk-major
+        # tval) and chunks may span frame boundaries, so a multi-frame
+        # group must share a single scene time — time-sliced trainers
+        # render with eval_frame_group=1
+        if times is not None and F > 1:
+            t_arr = np.asarray(times, np.float32).reshape(-1)
+            if np.unique(t_arr).size > 1:
+                raise ValueError(
+                    "render_frames: a multi-frame group must share one "
+                    "scene time (chunks span frames); render distinct "
+                    "times one frame per call (eval_frame_group=1)"
+                )
         # inference-time crop box (GUI aabb_infer sliders,
         # nerf/gui.py:316-338): a TRACED argument of the jitted frame
         # renderer, so slider moves never recompile

@@ -25,6 +25,8 @@ from ngp_tpu.models.occupancy import (
     init_occupancy,
     mark_untrained_grid,
     occupied_aabb,
+    pack_occupancy_payloads,
+    pack_prepass_payload,
     render_rays_grid,
     render_rays_grid_turbo,
     render_rays_grid_turbo_direct,
@@ -347,7 +349,7 @@ class GridNeRFTrainer(NeRFTrainer):
         # render_frames (the per-ray spans it produces then shrink the
         # MAIN march's bucket below it)
         span = self._eval_lattice_span
-        pkey = (Cp, chunk, H, W, span, F == 1, s)
+        pkey = (Cp, chunk, H, W, span, F, s)
         perm_key = ("dev_perm", n)
         if perm_key not in self._prepass_inds_cache:
             self._prepass_inds_cache[perm_key] = jnp.asarray(
@@ -492,6 +494,29 @@ class GridNeRFTrainer(NeRFTrainer):
     def on_step_begin(self):
         if self.global_step % self.train_cfg.update_extra_interval == 0:
             self._update_occupancy()
+
+    def _post_restore(self, skipped_keys: list) -> None:
+        """Rebuild the turbo march's packed payloads when a tolerant
+        checkpoint restore skipped them (pre-round-4 checkpoints lack
+        prepass_payload and carry the narrow [R,2] fine_payload): the
+        payloads are pure functions of the restored density/occ grids."""
+        if not any("occ" in k and "payload" in k for k in skipped_keys):
+            return
+        occ = (self.aux or {}).get("occ")
+        if occ is None or getattr(occ, "occ_grid", None) is None:
+            return
+
+        def repack(og, dg):
+            cp, fp = pack_occupancy_payloads(og, dg)
+            return cp, fp, pack_prepass_payload(og)
+
+        if occ.occ_grid.ndim == 5:  # time-sliced (D-NeRF) state
+            repack = jax.vmap(repack)
+        cp, fp, pp = jax.jit(repack)(occ.occ_grid, occ.density_grid)
+        self.aux = dict(self.aux)
+        self.aux["occ"] = occ.replace(
+            coarse_payload=cp, fine_payload=fp, prepass_payload=pp
+        )
 
     def reset_extra_state(self):
         """Zero the density grid and counters (renderer.py:113-123)."""

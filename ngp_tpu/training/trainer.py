@@ -323,5 +323,16 @@ class Trainer:
         self.aux = restored["aux"]
         self.global_step = extras.get("global_step", 0)
         self.epoch = extras.get("epoch", 0)
+        skipped = extras.get("restore_skipped", [])
+        if skipped:
+            self.log(
+                f"checkpoint restore: kept fresh values for {len(skipped)} "
+                f"missing/mismatched keys: {skipped}"
+            )
+            self._post_restore(skipped)
         self.log(f"loaded checkpoint {path} (epoch {self.epoch})")
         return True
+
+    def _post_restore(self, skipped_keys: list) -> None:
+        """Hook after a tolerant (partial) checkpoint restore: rebuild
+        any derived state whose keys were skipped. Default: nothing."""
