@@ -54,6 +54,11 @@ def build_parser():
     parser.add_argument("--bg_radius", type=float, default=-1)
     # experimental
     parser.add_argument("--error_map", action="store_true")
+    parser.add_argument(
+        "--error_map_size", type=int, default=128,
+        help="coarse error-map resolution (use 256 at num_rays >= 16384: "
+        "a 128^2 map is inert there — every cell gets drawn)",
+    )
     parser.add_argument("--rand_pose", type=int, default=-1)
     parser.add_argument("--clip_text", type=str, default="",
                         help="CLIP guidance prompt for rand_pose mode; needs "
@@ -208,6 +213,7 @@ def main():
         lr=opt.lr,
         num_rays=opt.num_rays,
         error_map=opt.error_map,
+        error_map_size=opt.error_map_size,
         patch_size=opt.patch_size,
         rand_pose=opt.rand_pose,
         seed=opt.seed,

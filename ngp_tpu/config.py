@@ -146,6 +146,11 @@ class TrainConfig:
     # reference needs no such guard because its marcher allocates
     # samples dynamically)
     error_map_uniform_frac: float = 0.5
+    # coarse error-map resolution (reference: fixed 128, utils.py:107).
+    # Without-replacement weighted draws need cells >> draws: at
+    # num_rays=16384 a 128^2 map is provably inert (every cell drawn);
+    # 256 restores the reference's 4096-draws-over-16384-cells ratio
+    error_map_size: int = 128
     patch_size: int = 1
     rand_pose: int = -1
     seed: int = 0

@@ -24,7 +24,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-ERROR_MAP_SIZE = 128  # fixed coarse resolution, as the reference
+ERROR_MAP_SIZE = 128  # default coarse resolution, as the reference
 
 
 def sample_ray_indices(
@@ -53,6 +53,14 @@ def sample_ray_indices(
     sample need) and keeps exploring cells whose stale error says
     "done". Uniform rays also report their coarse cell so the error
     map stays fresh everywhere.
+
+    The coarse resolution is inferred from ``error_map``'s size (the
+    reference hard-codes 128, utils.py:107-111). Without-replacement
+    draws degenerate to stratified-uniform once the weighted draw count
+    approaches the cell count (at num_rays=16384 a 128^2 map is inert —
+    measured +-0.05 dB), so flagship-batch runs should allocate a 256^2
+    map (TrainConfig.error_map_size) to restore the reference's
+    draws-per-cell ratio.
     """
     out = {}
     if patch_size > 1:
@@ -73,14 +81,16 @@ def sample_ray_indices(
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         n_uni = int(round(n_rays * uniform_frac))
         n_w = n_rays - n_uni
+        em_flat = error_map.reshape(-1)
+        M = int(round(em_flat.shape[0] ** 0.5))  # coarse map resolution
         # Gumbel top-k == multinomial without replacement
-        logits = jnp.log(jnp.maximum(error_map.reshape(-1), 1e-12))
+        logits = jnp.log(jnp.maximum(em_flat, 1e-12))
         gumbel = -jnp.log(-jnp.log(jax.random.uniform(k1, logits.shape) + 1e-10) + 1e-10)
         _, inds_coarse = jax.lax.top_k(logits + gumbel, n_w)
-        cx = inds_coarse // ERROR_MAP_SIZE
-        cy = inds_coarse % ERROR_MAP_SIZE
-        sx = H / ERROR_MAP_SIZE
-        sy = W / ERROR_MAP_SIZE
+        cx = inds_coarse // M
+        cy = inds_coarse % M
+        sx = H / M
+        sy = W / M
         jx = jax.random.uniform(k2, (n_w,))
         jy = jax.random.uniform(k3, (n_w,))
         ix = jnp.clip((cx * sx + jx * sx).astype(jnp.int32), 0, H - 1)
@@ -91,12 +101,12 @@ def sample_ray_indices(
             # uniform rays' coarse cells: invert the jittered upscale so
             # their error-map entries refresh too
             cu_x = jnp.clip((inds_u // W).astype(jnp.float32) / sx,
-                            0, ERROR_MAP_SIZE - 1).astype(jnp.int32)
+                            0, M - 1).astype(jnp.int32)
             cu_y = jnp.clip((inds_u % W).astype(jnp.float32) / sy,
-                            0, ERROR_MAP_SIZE - 1).astype(jnp.int32)
+                            0, M - 1).astype(jnp.int32)
             inds = jnp.concatenate([inds, inds_u])
             inds_coarse = jnp.concatenate(
-                [inds_coarse, cu_x * ERROR_MAP_SIZE + cu_y]
+                [inds_coarse, cu_x * M + cu_y]
             )
         out["inds"] = inds
         out["inds_coarse"] = inds_coarse

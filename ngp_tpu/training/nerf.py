@@ -115,6 +115,9 @@ class NeRFTrainer(Trainer):
         # device-resident (inds, fids) buffers for no-cull frame
         # renders, keyed (F, H*W, C, chunk) — see render_frames
         self._device_inds_cache = {}
+        # jitted background-only frame renderers (bg_radius > 0 with the
+        # eval cull: miss rays still need the bg envmap), keyed (F,H,W)
+        self._jit_bg_frames = {}
         # jitted slicers for the prepass's device-side chunk lists
         self._jit_slice_chunks = {}
         # f32 (unquantized) eval frame transfer: the default u8 path
@@ -556,6 +559,12 @@ class NeRFTrainer(Trainer):
         if pre is not None:
             t0_dev, t1_dev = pre["t0"], pre["t1"]
             self._set_eval_lattice_span_value(pre["span"])
+        # bg_radius > 0 with a cull active: culled (miss) rays still
+        # need the background envmap — render it in a march-free pass
+        # and initialise the output from it
+        bg_frames = None
+        if self.render_cfg.bg_radius > 0 and pre is not None:
+            bg_frames = self._render_bg_frames(params, poses, intrinsics, H, W)
         n = H * W
         # shuffle rays across the frame so each chunk sees the
         # FRAME-AVERAGE occupancy: coherent pixel blocks alternate
@@ -565,7 +574,12 @@ class NeRFTrainer(Trainer):
         # fraction of the worst case — the TPU-shaped equivalent of the
         # reference's alive-ray compaction (raymarching.cu:700-914)
         perm = self._frame_perm(n)
-        images = np.ones((F, n, 3), np.float32)  # bg_color = 1.0 (below)
+        # un-rendered (culled) pixels: bg net when active, else the
+        # eval bg_color = 1.0 the chunk renderer composites with
+        images = (
+            bg_frames if bg_frames is not None
+            else np.ones((F, n, 3), np.float32)
+        )
         depths = np.zeros((F, n), np.float32)
         img = dep = None
         device_inds = None
@@ -603,9 +617,9 @@ class NeRFTrainer(Trainer):
                 # composite to pure background and never reach the
                 # device (the reference culls per-step with alive
                 # compaction; at frame granularity this is the same
-                # work-avoidance). Disabled when a background net must
-                # render on misses.
-                if self.render_cfg.bg_radius <= 0:
+                # work-avoidance). With a bg net, culling needs the
+                # bg-only pass to cover the misses.
+                if self.render_cfg.bg_radius <= 0 or bg_frames is not None:
                     bbox = self._project_aabb_bbox(
                         poses[f], intrinsics, H, W, aabb_eff
                     )
@@ -698,6 +712,63 @@ class NeRFTrainer(Trainer):
         # completion WITHOUT the host transfer (benchmark scripts)
         finalize.device_arrays = (img, dep)
         return finalize if async_result else finalize()
+
+    def _render_bg_frames(self, params, poses, intrinsics, H: int, W: int):
+        """Background-net-only full frames, [F, H*W, 3] float numpy.
+
+        The eval-cull prepass turns most pixels of a bg_radius>0 scene
+        into misses; those rays still need the background envmap (the
+        reference's run_cuda composites bg for dead rays too,
+        nerf/renderer.py:271-274, :316) but NOT the march — this pass
+        runs only sph_from_ray + the tiny bg net over the frame, and
+        render_frames initialises the output image from it so the
+        culled main render only overwrites hit pixels."""
+        from ngp_tpu.models.occupancy import sph_from_ray
+
+        F = poses.shape[0]
+        n = H * W
+        chunk = 65536
+        C = -(-n // chunk)
+        key = (F, H, W, bool(getattr(self, "eval_f32_frames", False)))
+        if key not in self._jit_bg_frames:
+            inds = np.arange(C * chunk, dtype=np.int32) % n
+            inds_d = jnp.asarray(inds.reshape(C, chunk))
+
+            @jax.jit
+            def bg_frames_fn(params, poses_d, intr, fid):
+                bg_fn = self._fns(params)[2]
+
+                def one(inds):
+                    rays = rays_from_frame_indices(
+                        poses_d, intr, H, W, inds,
+                        jnp.full_like(inds, fid),
+                    )
+                    col = bg_fn(
+                        sph_from_ray(rays["rays_o"], rays["rays_d"],
+                                     self.render_cfg.bg_radius),
+                        rays["rays_d"],
+                    )
+                    if getattr(self, "eval_f32_frames", False):
+                        return jnp.clip(col, 0.0, 1.0).astype(jnp.float32)
+                    return jnp.round(
+                        jnp.clip(col, 0.0, 1.0) * 255.0
+                    ).astype(jnp.uint8)
+
+                return jax.lax.map(one, inds_d)
+
+            self._jit_bg_frames[key] = bg_frames_fn
+        fn = self._jit_bg_frames[key]
+        out = np.zeros((F, n, 3), np.float32)
+        poses_d = jnp.asarray(poses)
+        intr_d = jnp.asarray(np.asarray(intrinsics, np.float32))
+        for f in range(F):
+            arr = np.asarray(fn(params, poses_d, intr_d, jnp.int32(f)))
+            arr = arr.reshape(-1, 3)[:n]
+            out[f] = (
+                arr.astype(np.float32) / 255.0
+                if arr.dtype == np.uint8 else arr.astype(np.float32)
+            )
+        return out
 
     def _sorted_chunk_slices(self, sorted_inds, C: int, chunk: int):
         """Slice the device-resident hit-sorted index buffer into
@@ -1054,10 +1125,9 @@ class NeRFTrainer(Trainer):
 
     def enable_error_map(self, n_frames: int):
         self.ensure_initialized()
+        M = int(getattr(self.train_cfg, "error_map_size", ERROR_MAP_SIZE))
         self.aux = dict(self.aux or {})
-        self.aux["error_map"] = jnp.ones(
-            (n_frames, ERROR_MAP_SIZE * ERROR_MAP_SIZE), jnp.float32
-        )
+        self.aux["error_map"] = jnp.ones((n_frames, M * M), jnp.float32)
 
     def eval_metric(self, valid) -> float:
         """Best-checkpoint metric for rendering workloads: -PSNR over

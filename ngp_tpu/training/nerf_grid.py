@@ -302,8 +302,11 @@ class GridNeRFTrainer(NeRFTrainer):
         cfg = self.render_cfg
         if not (self.eval_prepass and cfg.turbo):
             return None
-        if cfg.bg_radius > 0:  # misses must still render the bg net
-            return None
+        # bg_radius > 0 no longer disables the cull: misses get the
+        # background net through render_frames' bg-only pass
+        # (_render_bg_frames) instead of the full march — the
+        # reference's run_cuda composites bg for dead rays the same way
+        # (nerf/renderer.py:271-274, :316)
         occ = (self.aux or {}).get("occ")
         if occ is None or getattr(occ, "prepass_payload", None) is None:
             return None

@@ -107,6 +107,44 @@ def test_error_map_jitter_upscale_unbiased():
     assert (hits > 0).all(), hits  # all 16 fine pixels reachable
 
 
+def test_error_map_256_effective_at_flagship_batch():
+    """At num_rays=16384 a 128^2 map is inert (the without-replacement
+    draw selects EVERY cell), but a 256^2 map keeps real weighting: the
+    map resolution is inferred from the array (TrainConfig
+    error_map_size), and weighted draws concentrate on hot cells."""
+    H = W = 800
+    n_rays = 16384
+    # 128^2: all cells drawn regardless of weights -> provably inert
+    M0 = 128
+    em0 = np.full((M0 * M0,), 1e-12, np.float32)
+    em0[: M0 * M0 // 4] = 1.0
+    out0 = sample_ray_indices(
+        jax.random.PRNGKey(7), H, W, n_rays, error_map=jnp.asarray(em0),
+        uniform_frac=0.0,
+    )
+    ic0 = np.asarray(out0["inds_coarse"])
+    assert len(np.unique(ic0)) == M0 * M0  # every cell selected
+
+    # 256^2 with the same hot-quadrant weights: weighted draws land in
+    # hot cells (modulo Gumbel tail mass on the 1e-12 cells)
+    M = 256
+    em = np.full((M * M,), 1e-12, np.float32)
+    hot = np.zeros((M * M,), bool)
+    hot[: M * M // 4] = True
+    em[hot] = 1.0
+    out = sample_ray_indices(
+        jax.random.PRNGKey(8), H, W, n_rays, error_map=jnp.asarray(em),
+        uniform_frac=0.0,
+    )
+    ic = np.asarray(out["inds_coarse"])
+    assert hot[ic].mean() > 0.99
+    assert len(np.unique(ic)) == ic.size  # still without replacement
+    # fine pixels live in the hot rows' footprint (first M/4 coarse rows
+    # -> first H/4 pixel rows)
+    inds = np.asarray(out["inds"])
+    assert (inds // W).max() < H // 4 + 4
+
+
 def test_rays_unit_norm_and_camera_convention():
     H = W = 32
     pose = np.eye(4, dtype=np.float32)
