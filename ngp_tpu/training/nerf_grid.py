@@ -50,9 +50,13 @@ class GridNeRFTrainer(NeRFTrainer):
         # WATER-FILLED across rays (occupancy._turbo_compact_geometry),
         # so a scarce budget trims the deepest samples of the longest
         # rays first and degrades gracefully (None = full no-drop
-        # budget). Default 4 measured at the quality knee: 800x800
-        # flagship frame 308 ms vs 448 ms at 8, -0.09 dB.
-        self.eval_mean_samples: Optional[int] = 4
+        # budget). Default 6, re-measured round 5: the prepass's
+        # device-side chunk lists made eval chunks ALL-HIT, so the
+        # water level now ~= ems exactly (r4's knee of 4 assumed ~45%
+        # background rays donating budget). Converged 800x800 flagship:
+        # ems6 = 35.03 dB (>= the no-drop 35.05 within noise), ems8
+        # +0.17 dB at +20%, ems4 COLLAPSES to 32.5.
+        self.eval_mean_samples: Optional[int] = 6
         # eval-only probe-lattice stride: >1 marches the frame with
         # max_steps/stride probes (dt_min grows by the stride) — the
         # march's fixed per-chunk cost (coarse lookup + selection) drops
@@ -115,8 +119,12 @@ class GridNeRFTrainer(NeRFTrainer):
         # inside the payload's 3^3 coarse-cell dilation ball (h ~
         # 2*bound/32) that already covers the probe lattice's h/2
         # along-ray gap; the extra +-h on t0/t1 covers the cross-ray
-        # offset.
-        self.eval_prepass_stride: int = 1
+        # offset. Default 2, measured round 5 (converged 800x800
+        # flagship, device time from the profiler's XLA Module spans):
+        # prepass 17.7 -> 9.8 ms/frame with PSNR +0.08 (35.11 vs
+        # 35.03) — the dilation's extra conservatism only ADDS
+        # candidate samples.
+        self.eval_prepass_stride: int = 2
         self._jit_prepass = {}
         self._prepass_inds_cache = {}
 

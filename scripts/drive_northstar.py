@@ -69,6 +69,9 @@ def main():
         workspace=f"/tmp/northstar_{'em' if use_error_map else 'base'}",
         update_extra_interval=16, error_map=use_error_map,
         error_map_uniform_frac=float(os.environ.get("NGP_EM_MIX", "0.5")),
+        # 256 default: at this protocol's 16384 rays a 128^2 map is
+        # provably inert (every cell drawn without replacement)
+        error_map_size=int(os.environ.get("NGP_EM_SIZE", "256")),
     )
     model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
     trainer = GridNeRFTrainer(
