@@ -105,28 +105,29 @@ def main():
         gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
 
     configs = [
-        # name, ems, mx, probe_stride, cc, t_proxy, prepass_stride
-        ("ems6", 6, None, 1, 64, None, 1),
-        ("ems6tp4", 6, None, 1, 64, 1e-4, 1),
-        ("ems6mx16tp4", 6, 16, 1, 64, 1e-4, 1),
-        ("ems6tp4s2", 6, None, 1, 64, 1e-4, 2),
-        ("ems4tp4", 4, None, 1, 64, 1e-4, 1),
-        ("ems8tp4", 8, None, 1, 64, 1e-4, 1),
+        # name, ems, mx, probe_stride, cc, t_proxy, prepass_stride, chunk
+        ("ems6", 6, None, 1, 64, None, 1, None),
+        ("ems6tp4", 6, None, 1, 64, 1e-4, 1, None),
+        ("ems6mx16tp4", 6, 16, 1, 64, 1e-4, 1, None),
+        ("ems6tp4s2", 6, None, 1, 64, 1e-4, 2, None),
+        ("ems4tp4", 4, None, 1, 64, 1e-4, 1, None),
+        ("ems8tp4", 8, None, 1, 64, 1e-4, 1, None),
     ]
     spec = os.environ.get("NGP_CONFIGS", "")
     if spec:
         configs = []
         for part in spec.split(";"):
-            nm, ems, mx, st, cc, tp, ps = (part.split(":") + ["-"] * 7)[:7]
+            nm, ems, mx, st, cc, tp, ps, ck = (part.split(":") + ["-"] * 8)[:8]
             configs.append((
                 nm, int(ems) if ems != "-" else None,
                 int(mx) if mx != "-" else None, int(st),
                 int(cc) if cc != "-" else None,
                 float(tp) if tp != "-" else None,
                 int(ps) if ps != "-" else 1,
+                int(ck) if ck != "-" else None,
             ))
 
-    for name, ems, mx, st, cc, tp, ps in configs:
+    for name, ems, mx, st, cc, tp, ps, ck in configs:
         trainer.eval_mean_samples = ems
         trainer.eval_max_samples = mx
         trainer.eval_probe_stride = st
@@ -135,10 +136,11 @@ def main():
         trainer.eval_prepass_stride = ps
         trainer._jit_render_chunks = {}
         trainer._jit_prepass = {}
+        cchunk = ck or chunk
 
         def once(i, async_only=True):
             fin = trainer.render_frames(
-                poses[i][None], intr, H, H, chunk=chunk, want_depth=False,
+                poses[i][None], intr, H, H, chunk=cchunk, want_depth=False,
                 async_result=True,
             )
             if fin.device_arrays[0] is not None:
