@@ -1011,7 +1011,9 @@ def march_rays_turbo(
     }
 
 
-def compact_valid_samples(mask: jnp.ndarray, budget: int, extra=None):
+def compact_valid_samples(
+    mask: jnp.ndarray, budget: int, extra=None, block_uniform: bool = False
+):
     """Squeeze the valid PREFIX samples of [N, S] rays into a global
     [budget] buffer, ray-major (the TPU replacement for the CUDA
     atomicAdd point packing, raymarching.cu:405-414).
@@ -1025,8 +1027,38 @@ def compact_valid_samples(mask: jnp.ndarray, budget: int, extra=None):
     rest); rays entirely past the budget contribute nothing — the
     reference's point buffer fills mid-ray the same way
     (raymarching.cu:405-414 allocates what remains, short rays).
+
+    ``block_uniform=True`` (static) promises the mask is constant
+    within each ALIGN-sample block (true for the ALIGN-padded masks
+    `_turbo_compact_geometry` builds) and ``budget % ALIGN == 0``: the
+    sort then runs at BLOCK granularity — 4x fewer rows, and TPU sort
+    cost is per-row — with the ``extra`` payload riding as ALIGN
+    strided operands. Bit-identical output to the general path on
+    block-uniform masks (tested).
     """
     N, S = mask.shape
+    counts = jnp.sum(mask, axis=1)
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    if block_uniform and S % ALIGN == 0 and budget % ALIGN == 0:
+        NB = N * (S // ALIGN)
+        flatb = mask.reshape(NB, ALIGN)[:, 0]
+        iota_b = jnp.arange(NB, dtype=jnp.int32)
+        keys = jnp.where(flatb, iota_b, NB + iota_b)
+        ops = (keys, iota_b)
+        if extra is not None:
+            ex = extra.reshape(NB, ALIGN)
+            ops = ops + tuple(ex[:, j] for j in range(ALIGN))
+        sorted_ops = jax.lax.sort(ops, num_keys=1)
+        Bb = budget // ALIGN
+        sub = jnp.arange(ALIGN, dtype=jnp.int32)[None, :]
+        src = (sorted_ops[1][:Bb, None] * ALIGN + sub).reshape(-1)
+        valid = jnp.repeat(sorted_ops[0][:Bb] < NB, ALIGN)
+        if extra is None:
+            return src, valid, offsets
+        extra_c = jnp.stack(
+            [sorted_ops[2 + j][:Bb] for j in range(ALIGN)], axis=1
+        ).reshape(-1)
+        return src, valid, offsets, extra_c
     flat = mask.reshape(-1)
     iota = jnp.arange(N * S, dtype=jnp.int32)
     keys = jnp.where(flat, iota, N * S + iota)
@@ -1035,8 +1067,6 @@ def compact_valid_samples(mask: jnp.ndarray, budget: int, extra=None):
     skeys = sorted_ops[0]
     src = sorted_ops[1][:budget]
     valid = skeys[:budget] < N * S
-    counts = jnp.sum(mask, axis=1)
-    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
     if extra is None:
         return src, valid, offsets
     return src, valid, offsets, sorted_ops[2][:budget]
@@ -1160,8 +1190,10 @@ def _turbo_compact_geometry(
     else:
         n_alloc = n_total8
     mask8 = jnp.arange(S, dtype=jnp.int32)[None, :] < n_alloc[:, None]
+    # n_alloc is a multiple of ALIGN by construction (n_total8, k_star
+    # and bonus all are), so mask8 is block-uniform -> block-level sort
     src, valid_m, offsets, t_c = compact_valid_samples(
-        mask8, budget, extra=m["ts"]
+        mask8, budget, extra=m["ts"], block_uniform=True
     )
     ray_row = jnp.concatenate(
         [rays_o, rays_d, jnp.zeros((N, 2), jnp.float32)], axis=-1

@@ -246,6 +246,25 @@ def test_compact_and_place_roundtrip():
             np.testing.assert_allclose(p[n, s], v[o[n] + s])
 
 
+def test_compact_block_uniform_matches_general():
+    # the block_uniform fast path (block-granularity sort, 4x fewer
+    # rows) must be bit-identical to the general per-sample path on
+    # ALIGN-block-uniform masks, including straddling/overflow budgets
+    rng = np.random.default_rng(21)
+    N, S = 64, 24
+    counts = rng.integers(0, S // 4 + 1, size=N) * 4  # ALIGN = 4
+    mask = jnp.asarray(np.arange(S)[None, :] < counts[:, None])
+    extra = jnp.asarray(rng.normal(size=(N, S)).astype(np.float32))
+    total = int(counts.sum())
+    for budget in (total, total - 8, total + 16, 4):
+        ref = compact_valid_samples(mask, budget, extra=extra)
+        got = compact_valid_samples(
+            mask, budget, extra=extra, block_uniform=True
+        )
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
 def test_place_compact_gradient():
     rng = np.random.default_rng(8)
     N, S, F = 16, 16, 4
