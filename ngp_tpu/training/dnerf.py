@@ -262,9 +262,14 @@ class DNeRFTrainer(GridNeRFTrainer):
                     )
                 return new, jnp.mean(outs[2])
 
-            def finalize(occ_state: TimeOccupancyState, means):
+            def finalize(occ_state: TimeOccupancyState):
+                # exact reference semantics (renderer.py:537:
+                # mean over clamp(min=0) of the FULL grid) — one HBM
+                # sweep; exact even when only a slice subset refreshed
                 return occ_state.replace(
-                    mean_density=jnp.mean(means),
+                    mean_density=jnp.mean(
+                        jnp.maximum(occ_state.density_grid, 0.0)
+                    ),
                     iter_density=occ_state.iter_density + 1,
                 )
 
@@ -273,13 +278,33 @@ class DNeRFTrainer(GridNeRFTrainer):
             )
             self._jit_finalize_occ = jax.jit(finalize, donate_argnums=(0,))
 
-        means = []
+        # Refresh phases (dnerf/renderer.py:465-528): the first 16
+        # refreshes sweep ALL T slices (reference full phase); later
+        # refreshes rotate over a quarter of the slices per call. The
+        # reference quarters its POINT budget per slice instead — but
+        # on this path the per-slice cost is dominated by re-packing
+        # the slice's turbo payloads (full-grid work regardless of how
+        # few cells changed), so the slice count is the lever that
+        # actually sheds the cost (measured 23 s -> ~6 s per refresh at
+        # T=64, grid 128). Each slice still gets the slab-partial EMA
+        # update every 4th refresh; the grid freezes at 100 refreshes
+        # like the reference, so steady-state cost is zero either way.
+        it = int(occ.iter_density)
+        if it < 16 or T <= C:
+            starts = list(range(0, T, C))
+        else:
+            # round the quarter up to whole C-blocks so the rotating
+            # cursor stays block-aligned (dynamic_slice would clamp an
+            # unaligned t0 near T and skew coverage)
+            q = -(-max(T // 4, C) // C) * C
+            cur_t = getattr(self, "_refresh_cursor", 0)
+            starts = [(cur_t + j) % T for j in range(0, q, C)]
+            self._refresh_cursor = (cur_t + q) % T
         cur = occ
-        for t0 in range(0, T, C):
+        for t0 in starts:
             self.rng, k = jax.random.split(self.rng)
-            cur, m = self._jit_update_occ(self.state.params, cur, k, t0)
-            means.append(m)
-        cur = self._jit_finalize_occ(cur, jnp.stack(means))
+            cur, _ = self._jit_update_occ(self.state.params, cur, k, t0)
+        cur = self._jit_finalize_occ(cur)
         self.aux = dict(self.aux)
         self.aux["occ"] = cur
 

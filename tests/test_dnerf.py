@@ -177,6 +177,62 @@ def test_dnerf_trainer_e2e_turbo(tmp_path):
     assert after > before + 4.0
 
 
+def test_dnerf_refresh_phases(tmp_path):
+    """Grid-refresh phases (dnerf/renderer.py:465-528): full sweeps for
+    the first 16 refreshes, then a ROTATING quarter of the time slices
+    per refresh (the TPU partial: payload re-packing dominates per-
+    slice cost, so slice count is the budget lever), frozen at 100."""
+    net_cfg, render_cfg = _cfgs(
+        turbo=True, max_steps=32, max_samples_per_ray=8,
+        coarse_candidates=16, crossing_slots=8,
+    )
+    train_cfg = TrainConfig(
+        iters=10, lr=1e-2, num_rays=64, workspace=str(tmp_path / "ws")
+    )
+    model = DNeRFNetwork(
+        cfg=net_cfg, render=render_cfg, num_layers_deform=2,
+        hidden_dim_deform=32,
+    )
+    trainer = DNeRFTrainer(
+        model, render_cfg, train_cfg, log_every=10**9, use_tensorboard=False
+    )
+    trainer.ensure_initialized()
+    trainer.refresh_time_chunk = 2  # T=8 -> partial = 2 rotating slices
+    T = render_cfg.time_size
+
+    def grid():
+        return np.asarray(trainer.aux["occ"].density_grid)
+
+    # full phase: every slice changes
+    g0 = grid()
+    trainer._update_occupancy()
+    g1 = grid()
+    changed = [bool(np.any(g1[t] != g0[t])) for t in range(T)]
+    assert all(changed), changed
+    assert int(trainer.aux["occ"].iter_density) == 1
+
+    # partial phase: exactly the rotating quarter changes
+    trainer.aux["occ"] = trainer.aux["occ"].replace(
+        iter_density=jnp.int32(20)
+    )
+    for expect in ([0, 1], [2, 3], [4, 5], [6, 7], [0, 1]):
+        before = grid()
+        trainer._update_occupancy()
+        after = grid()
+        changed = [bool(np.any(after[t] != before[t])) for t in range(T)]
+        untouched = [t for t in range(T) if t not in expect]
+        assert all(not changed[t] for t in untouched), (expect, changed)
+        assert any(changed[t] for t in expect), (expect, changed)
+
+    # frozen after 100 refreshes (renderer.py:500)
+    trainer.aux["occ"] = trainer.aux["occ"].replace(
+        iter_density=jnp.int32(100)
+    )
+    before = grid()
+    trainer._update_occupancy()
+    np.testing.assert_array_equal(grid(), before)
+
+
 def test_dnerf_shared_eval_stack_parity(tmp_path):
     """Round 4: D-NeRF evaluates through the SHARED staged frame
     renderer (time as a traced argument — the reference's dnerf Trainer
