@@ -181,3 +181,58 @@ def make_fused_density(model: NeRFNetwork, params) -> "callable | None":
         return sigma, geo
 
     return density_fn
+
+
+def make_fused_sigma_rgb(model: NeRFNetwork, params) -> "callable | None":
+    """Fused EVAL radiance fn for the flagship config, or None.
+
+    Returns ``vals_fn(pts [M, 3], dirs [M, 3]) -> [M, 4] f32`` — the
+    compositor's (sigma, rgb) rows from ONE Pallas pass over the whole
+    network (ops/cpgrid.cpgrid_sigma_rgb): density, SH, color MLP and
+    both activations run without a single intermediate HBM round trip.
+    INFERENCE-ONLY (the kernel has no vjp — training keeps
+    make_fused_density + the module color path, which save residuals).
+    Same param-tree contract as make_fused_density plus
+    'color_net'/'dense_{0..}'; anything unexpected returns None and
+    callers keep the unfused pair."""
+    c = model.cfg
+    if (
+        c.encoding != "cpgrid"
+        or c.num_layers != 2
+        or c.encoding_dir != "sphere_harmonics"
+    ):
+        return None
+    from ngp_tpu.ops.cpgrid import CPGridConfig, cpgrid_sigma_rgb
+
+    try:
+        p = params["params"]
+        enc = p["encoder"]
+        net = p["sigma_net"]
+        cnet = p["color_net"]
+        factors = tuple(enc[f"factors_{r}"] for r in c.cp_resolutions)
+        w1 = net["dense_0"]["kernel"]
+        w2 = net["dense_1"]["kernel"]
+        color_ws = tuple(
+            cnet[f"dense_{i}"]["kernel"] for i in range(c.num_layers_color)
+        )
+    except (KeyError, TypeError):
+        return None
+    cfg = CPGridConfig(
+        resolutions=tuple(c.cp_resolutions),
+        rank=c.cp_rank,
+        freq_degree=c.cp_freq_degree,
+    )
+    if w1.shape[0] != cfg.output_dim:
+        return None
+    if color_ws[0].shape[0] != c.sh_degree**2 + c.geo_feat_dim:
+        return None
+    dtype = jnp.bfloat16 if c.use_bf16 else None
+    b = model.render.bound
+
+    def vals_fn(x, d):
+        return cpgrid_sigma_rgb(
+            (x + b) / (2 * b), d, factors, w1, w2, color_ws, cfg,
+            c.sh_degree, compute_dtype=dtype,
+        )
+
+    return vals_fn

@@ -1285,6 +1285,7 @@ def render_rays_grid_turbo(
     budget: Optional[int] = None,
     return_geo: bool = False,
     t_range: Optional[jnp.ndarray] = None,
+    vals_fn: Optional[Callable] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Accelerated render v2: turbo march -> global valid-sample
     compaction -> network on the compact batch -> windowed placement ->
@@ -1296,6 +1297,12 @@ def render_rays_grid_turbo(
     validity mask (out["compact_valid"], [budget]) — D-NeRF's deform
     regulariser (dnerf/utils.py:117-119) consumes the per-sample
     deformation this way.
+
+    ``vals_fn(pts, dirs) -> [M, 4] f32`` (eval only): a fused
+    sigma+rgb evaluation replacing the density_fn/color_fn pair AND
+    the concat — the flagship's one-kernel radiance head
+    (models/nerf.make_fused_sigma_rgb). Incompatible with return_geo
+    (no geometry aux exists).
     """
     m, S, budget, src, valid_m, offsets, t_c, pts, dirs, maskb = (
         _turbo_compact_geometry(
@@ -1303,12 +1310,19 @@ def render_rays_grid_turbo(
             budget, t_range=t_range,
         )
     )
-    sigmas, geo = density_fn(pts)
-    rgbs = color_fn(dirs, geo)
-    vals = jnp.concatenate(
-        [sigmas.reshape(-1, 1).astype(jnp.float32), rgbs.astype(jnp.float32)],
-        axis=-1,
-    )  # [M, 4]
+    if vals_fn is not None:
+        if return_geo:
+            raise ValueError("vals_fn is incompatible with return_geo")
+        vals = vals_fn(pts, dirs)  # [M, 4] f32
+        geo = None
+    else:
+        sigmas, geo = density_fn(pts)
+        rgbs = color_fn(dirs, geo)
+        vals = jnp.concatenate(
+            [sigmas.reshape(-1, 1).astype(jnp.float32),
+             rgbs.astype(jnp.float32)],
+            axis=-1,
+        )  # [M, 4]
     placed = place_compact(vals, offsets, src, S)  # [N, S, 4]
     out = composite_rays(
         placed[..., 0], placed[..., 1:], m["ts"], m["deltas"], maskb,

@@ -125,3 +125,61 @@ def cpgrid_density(
             xf, factors, w1, w2, cfg.resolutions, cfg.freq_degree, cfg.block
         )
     return out.reshape(*batch_shape, w2.shape[1]).astype(jnp.float32)
+
+
+def cpgrid_sigma_rgb(
+    x: jnp.ndarray,
+    dirs: jnp.ndarray,
+    factors: Tuple[jnp.ndarray, ...],
+    w1: jnp.ndarray,
+    w2: jnp.ndarray,
+    color_ws: Tuple[jnp.ndarray, ...],
+    cfg: CPGridConfig,
+    sh_degree: int,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Fused EVAL radiance: the full sigma+color evaluation of the
+    flagship network (cpgrid_density -> trunc_exp/geo split -> SH(dir)
+    concat -> color MLP -> sigmoid, models/nerf.py:87-106) in ONE
+    Pallas pass (ops/pallas/cp_kernels.cp_sigma_rgb). Inference-only:
+    no residual writebacks at all — cp_density alone ships [M, ~680]
+    feats + [M, 64] h1 to HBM for its backward, and the unfused color
+    stage re-streams SH/concat/hiddens; at eval every one of those HBM
+    round trips is pure waste. Replaces the reference's inference-time
+    sigma+color pair (nerf/renderer.py:336-367's network calls).
+
+    x in [0, 1]^3; dirs unit [..., 3]. Returns [..., 4] f32 compositor
+    rows: (trunc_exp(sigma_raw), sigmoid(rgb)).
+    """
+    batch_shape = x.shape[:-1]
+    xf = x.reshape(-1, 3).astype(jnp.float32)
+    df = dirs.reshape(-1, 3).astype(jnp.float32)
+    if compute_dtype is not None:
+        factors = tuple(f.astype(compute_dtype) for f in factors)
+        w1 = w1.astype(compute_dtype)
+        w2 = w2.astype(compute_dtype)
+        color_ws = tuple(w.astype(compute_dtype) for w in color_ws)
+    if jax.default_backend() == "cpu":
+        from ngp_tpu.ops.sh import sh_encode
+
+        h = cpgrid_density(x, factors, w1, w2, cfg, compute_dtype=None)
+        h = h.reshape(-1, w2.shape[1])
+        sigma = jnp.exp(h[:, :1])
+        dt = compute_dtype or h.dtype
+        c = jnp.concatenate(
+            [sh_encode(df, sh_degree).astype(dt), h[:, 1:].astype(dt)],
+            axis=-1,
+        )
+        for i, w in enumerate(color_ws):
+            c = jnp.dot(c, w, preferred_element_type=jnp.float32)
+            if i != len(color_ws) - 1:
+                c = jnp.maximum(c, 0.0).astype(dt)
+        out = jnp.concatenate([sigma, jax.nn.sigmoid(c)], axis=-1)
+    else:
+        from ngp_tpu.ops.pallas.cp_kernels import cp_sigma_rgb
+
+        out = cp_sigma_rgb(
+            xf, df, factors, w1, w2, color_ws, cfg.resolutions,
+            cfg.freq_degree, sh_degree, cfg.block,
+        )
+    return out.reshape(*batch_shape, 4).astype(jnp.float32)

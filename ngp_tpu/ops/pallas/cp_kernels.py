@@ -428,3 +428,101 @@ def _cp_density_bwd(resolutions, freq_degree, block, resid, g):
 
 
 cp_density.defvjp(_cp_density_fwd, _cp_density_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused EVAL radiance head: density + SH(dir) + color MLP in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _sigma_rgb_kernel(resolutions, rank, freq_degree, sh_degree,
+                      pos_ref, dir_ref, *refs):
+    """cp + freq + sigma MLP + SH(dir) + color MLP + activations, one
+    pass; the whole radiance evaluation for a compact sample batch.
+
+    Inference-only (no vjp): unlike cp_density it writes NO residuals —
+    the [TM, ~680] feats and [TM, 64] h1 never touch HBM, and neither
+    do the SH basis, the concat, or the color hiddens. Output is the
+    compositor's [TM, 4] value rows directly: col 0 = exp(sigma_raw)
+    (trunc_exp forward, activation.py), cols 1:4 = sigmoid(rgb). The
+    TPU answer to the reference's inference-mode fused FFMLP
+    (ffmlp/src/ffmlp.cu:331-408 inference=true skips activation
+    writeback the same way)."""
+    from ngp_tpu.ops.sh import sh_encode
+
+    nfac = len(resolutions)
+    factor_refs = refs[:nfac]
+    w1_ref, w2_ref = refs[nfac], refs[nfac + 1]
+    color_refs = refs[nfac + 2 : -1]
+    out_ref = refs[-1]
+    pos = pos_ref[:]  # [TM, 3] f32
+    oob = jnp.any((pos < 0.0) | (pos > 1.0), axis=-1)
+    outs = []
+    for b, res in enumerate(resolutions):
+        fb = factor_refs[b]
+        acc = None
+        for ax in range(3):
+            oh = _tent(pos[:, ax], res, fb.dtype)
+            v = jnp.dot(oh, fb[ax], preferred_element_type=jnp.float32)
+            acc = v if acc is None else acc * v
+        outs.append(acc)
+    cp = jnp.concatenate(outs, axis=-1)
+    cp = jnp.where(oob[:, None], 0.0, cp)  # gridencoder.cu:110-135
+    fr = _freq_ladder(2.0 * pos - 1.0, freq_degree, jnp.float32)
+    feats = jnp.concatenate([cp, fr], axis=-1).astype(w1_ref.dtype)
+    h1 = jnp.dot(feats, w1_ref[:], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1, 0.0).astype(w1_ref.dtype)
+    h = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32)
+    sigma = jnp.exp(h[:, :1])  # trunc_exp forward (f32, eval: no grad)
+    geo = h[:, 1:].astype(w1_ref.dtype)
+    sh = sh_encode(dir_ref[:], sh_degree).astype(w1_ref.dtype)
+    c = jnp.concatenate([sh, geo], axis=-1)  # SH first (network.color)
+    for i in range(len(color_refs)):
+        c = jnp.dot(c, color_refs[i][:], preferred_element_type=jnp.float32)
+        if i != len(color_refs) - 1:
+            c = jnp.maximum(c, 0.0).astype(w1_ref.dtype)
+    rgb = jax.nn.sigmoid(c)  # [TM, 3] f32
+    out_ref[:] = jnp.concatenate([sigma, rgb], axis=-1)
+
+
+def cp_sigma_rgb(pos, dirs, factors, w1, w2, color_ws,
+                 resolutions: Tuple[int, ...], freq_degree: int,
+                 sh_degree: int, block: int = 1024):
+    """Fused eval radiance: [M, 3] pos + [M, 3] unit dirs -> [M, 4] f32
+    compositor rows (sigma, r, g, b). EVAL-ONLY — no custom vjp; the
+    training path keeps cp_density (which saves residuals for its
+    backward). color_ws: tuple of color-MLP Dense kernels
+    ([sh_dim + geo, H] ... [H, 3], no bias — models/mlp.py)."""
+    M = pos.shape[0]
+    rank = factors[0].shape[-1]
+    D, H1 = w1.shape
+    block = _density_vmem_block(
+        block, resolutions, rank, factors[0].dtype.itemsize, D, H1
+    )
+    pos_p = _pad_to(pos.astype(jnp.float32), block)
+    dir_p = _pad_to(dirs.astype(jnp.float32), block)
+    Mp = pos_p.shape[0]
+    grid = (Mp // block,)
+    out = pl.pallas_call(
+        functools.partial(
+            _sigma_rgb_kernel, resolutions, rank, freq_degree, sh_degree
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, 4), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim, memory_space=pltpu.VMEM)
+           for f in factors]
+        + [
+            pl.BlockSpec(w1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in color_ws],
+        out_specs=pl.BlockSpec((block, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(pos_p, dir_p, *factors, w1, w2, *color_ws)
+    return out[:M]

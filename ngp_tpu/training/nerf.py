@@ -165,6 +165,25 @@ class NeRFTrainer(Trainer):
 
         return density_fn, color_fn, bg_fn
 
+    def _eval_vals_fn(self, params):
+        """Fused EVAL radiance fn (one Pallas pass: density + SH +
+        color MLP + activations -> the compositor's [M, 4] rows) for
+        the flagship config, else None. Inference-only — the kernel
+        has no vjp; training steps never see it. Skipped under a mesh
+        (TP shards the factors) and for non-NeRFNetwork models
+        (D-NeRF/TensoRF heads keep their unfused pairs)."""
+        import os
+
+        if (
+            self.mesh is not None
+            or type(self.model) is not NeRFNetwork
+            or os.environ.get("NGP_NO_FUSED")
+        ):
+            return None
+        from ngp_tpu.models.nerf import make_fused_sigma_rgb
+
+        return make_fused_sigma_rgb(self.model, params)
+
     def render_batch(
         self, params, rays_o, rays_d, rng=None, perturb=False, bg_color=None,
         aux=None, aabb=None, t_range=None,

@@ -137,16 +137,19 @@ class GridNeRFTrainer(NeRFTrainer):
     ):
         density_fn, color_fn, bg_fn = self._fns(params)
         occ = aux["occ"] if aux is not None else init_occupancy(self.render_cfg)
+        # fused eval radiance head (one Pallas pass over the whole
+        # network — sigma, SH, color MLP, activations; inference only)
+        vals_fn = None if perturb else self._eval_vals_fn(params)
         return self._render_with(
             density_fn, color_fn, bg_fn, occ, rays_o, rays_d,
             rng=rng, perturb=perturb, bg_color=bg_color, aabb=aabb,
-            t_range=t_range,
+            t_range=t_range, vals_fn=vals_fn,
         )
 
     def _render_with(
         self, density_fn, color_fn, bg_fn, occ, rays_o, rays_d,
         rng=None, perturb=False, bg_color=None, aabb=None, t_range=None,
-        return_geo=False,
+        return_geo=False, vals_fn=None,
     ):
         """Shared dial-aware dispatch onto the turbo / v1 grid
         renderers; subclasses with their own heads/occupancy slicing
@@ -219,6 +222,7 @@ class GridNeRFTrainer(NeRFTrainer):
                 rng=rng, perturb=perturb, bg_color=bg_color, bg_fn=bg_fn,
                 max_samples=max_samples, budget=budget, aabb=aabb,
                 t_range=t_range, return_geo=return_geo,
+                vals_fn=None if (perturb or return_geo) else vals_fn,
             )
         return render_rays_grid(
             density_fn,

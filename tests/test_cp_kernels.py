@@ -234,3 +234,147 @@ def test_make_fused_density_matches_module():
         jax.random.PRNGKey(1), x0, x0, method=NeRFNetwork.full_init
     )
     assert make_fused_density(hash_model, hash_params) is None
+
+
+# ---------------------------------------------------------------------------
+# fused eval radiance head (cp_sigma_rgb)
+# ---------------------------------------------------------------------------
+
+
+def test_cp_sigma_rgb_kernel_parity():
+    """One-pass eval radiance kernel == the unfused composition
+    (density -> trunc_exp/geo -> SH concat -> color MLP -> sigmoid)."""
+    from ngp_tpu.ops.pallas.cp_kernels import cp_sigma_rgb
+    from ngp_tpu.ops.sh import sh_encode
+
+    pos, factors, w1, w2, fd = _density_setup()
+    rng = np.random.default_rng(21)
+    m = pos.shape[0]
+    d = rng.normal(size=(m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    sh_deg = 2
+    geo = w2.shape[1] - 1
+    dims = [sh_deg * sh_deg + geo, 16, 16, 3]
+    color_ws = tuple(
+        jnp.asarray(rng.normal(0, 0.3, size=(dims[i], dims[i + 1]))
+                    .astype(np.float32))
+        for i in range(3)
+    )
+    out_k = cp_sigma_rgb(pos, d, factors, w1, w2, color_ws, RES, fd,
+                         sh_deg, 128)
+    h = _density_reference(pos, factors, w1, w2, fd)
+    sigma_r = jnp.exp(h[:, 0])
+    c = jnp.concatenate([sh_encode(d, sh_deg), h[:, 1:]], axis=-1)
+    for i, w in enumerate(color_ws):
+        c = c @ w
+        if i != 2:
+            c = jnp.maximum(c, 0.0)
+    rgb_r = jax.nn.sigmoid(c)
+    assert out_k.shape == (m, 4)
+    np.testing.assert_allclose(np.asarray(out_k[:, 0]), np.asarray(sigma_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_k[:, 1:]), np.asarray(rgb_r),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_make_fused_sigma_rgb_matches_module():
+    """Trainer-level fused eval radiance == model.apply density+color
+    (same params); None for non-flagship configs."""
+    from ngp_tpu.config import NetworkConfig, RenderConfig
+    from ngp_tpu.models.nerf import NeRFNetwork, make_fused_sigma_rgb
+
+    render_cfg = RenderConfig(bound=1.0, turbo=True)
+    net_cfg = NetworkConfig(
+        encoding="cpgrid", use_bf16=False,
+        cp_resolutions=(32, 64), cp_rank=16, cp_freq_degree=4,
+    )
+    model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
+    rng = np.random.default_rng(23)
+    x0 = jnp.zeros((8, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, x0,
+                        method=NeRFNetwork.full_init)
+    fused = make_fused_sigma_rgb(model, params)
+    assert fused is not None
+    x = jnp.asarray(rng.uniform(-1, 1, size=(64, 3)).astype(np.float32))
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    vals = fused(x, d)
+    s_m, g_m = model.apply(params, x, method=NeRFNetwork.density)
+    rgb_m = model.apply(params, d, g_m, method=NeRFNetwork.color)
+    np.testing.assert_allclose(np.asarray(vals[:, 0]), np.asarray(s_m),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(vals[:, 1:]), np.asarray(rgb_m),
+                               atol=1e-4, rtol=1e-4)
+
+    hash_model = NeRFNetwork(
+        cfg=NetworkConfig(encoding="hashgrid", use_bf16=False),
+        render=render_cfg,
+    )
+    hash_params = hash_model.init(
+        jax.random.PRNGKey(1), x0, x0, method=NeRFNetwork.full_init
+    )
+    assert make_fused_sigma_rgb(hash_model, hash_params) is None
+
+
+def test_turbo_render_vals_fn_matches_unfused():
+    """render_rays_grid_turbo(vals_fn=...) == the density/color pair on
+    the same occupancy state and rays (the eval wiring contract)."""
+    from ngp_tpu.config import NetworkConfig, RenderConfig
+    from ngp_tpu.models.nerf import (
+        NeRFNetwork, make_fused_density, make_fused_sigma_rgb,
+    )
+    from ngp_tpu.models.occupancy import (
+        init_occupancy, render_rays_grid_turbo, update_occupancy,
+    )
+
+    render_cfg = RenderConfig(
+        bound=1.0, turbo=True, grid_size=32, max_samples_per_ray=32,
+    )
+    net_cfg = NetworkConfig(
+        encoding="cpgrid", use_bf16=False,
+        cp_resolutions=(32, 64), cp_rank=16, cp_freq_degree=4,
+    )
+    model = NeRFNetwork(cfg=net_cfg, render=render_cfg)
+    x0 = jnp.zeros((8, 3))
+    params = model.init(jax.random.PRNGKey(2), x0, x0,
+                        method=NeRFNetwork.full_init)
+
+    density_fn = make_fused_density(model, params)
+    if density_fn is None:
+        def density_fn(x):
+            return model.apply(params, x, method=NeRFNetwork.density)
+
+    def color_fn(d, geo):
+        return model.apply(params, d, geo, method=NeRFNetwork.color)
+
+    vals_fn = make_fused_sigma_rgb(model, params)
+    assert vals_fn is not None
+
+    occ = init_occupancy(render_cfg)
+    occ = update_occupancy(
+        occ, density_fn, render_cfg, jax.random.PRNGKey(3), 0
+    )
+    rng = np.random.default_rng(29)
+    n = 64
+    ro = jnp.asarray(rng.uniform(-0.2, 0.2, size=(n, 3)).astype(np.float32))
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd)
+    out_u = render_rays_grid_turbo(
+        density_fn, color_fn, ro, rd, occ, render_cfg,
+        budget=n * 8,
+    )
+    out_f = render_rays_grid_turbo(
+        density_fn, color_fn, ro, rd, occ, render_cfg,
+        budget=n * 8, vals_fn=vals_fn,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f["image"]), np.asarray(out_u["image"]),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f["depth"]), np.asarray(out_u["depth"]),
+        atol=1e-4, rtol=1e-4,
+    )
